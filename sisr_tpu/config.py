@@ -1,0 +1,291 @@
+"""Experiment configuration: frozen dataclasses mirroring every knob of the
+reference's executable config module (reference config.py:18-73), without the
+import-time side effects or interactive prompts (config.py:310, utils.py:91).
+
+Every reference knob has a named field here; the five canonical workloads from
+BASELINE.json are exposed as preset constructors at the bottom.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Dataset geometry (reference config.py:203-217)
+# ---------------------------------------------------------------------------
+
+#: dataset -> ((channels, height, width) of the native HR crop, max scale)
+DATASET_GEOMETRY = {
+    "celeba": ((3, 128, 128), 4),
+    "flickr": ((3, 256, 256), 8),
+    "mnist": ((1, 28, 28), 2),
+    # synthetic procedural dataset for tests/benchmarks (no reference analog)
+    "synthetic": ((3, 128, 128), 4),
+}
+
+
+def resolve_geometry(dataset: str, scale_factor: int) -> Tuple[Tuple[int, int, int], Tuple[int, int, int]]:
+    """HR/LR shapes for a dataset at a given total scale factor.
+
+    Replicates reference config.py:215-217: ``reduce = scale_max // scale``
+    shrinks the HR target so the LR size stays constant across scales.
+    Returns ((C, Hh, Wh), (C, Hl, Wl)).
+    """
+    (c, h, w), scale_max = DATASET_GEOMETRY[dataset]
+    reduce = max(1, scale_max // scale_factor)
+    hr = (c, h // reduce, w // reduce)
+    lr = (c, hr[1] // scale_factor, hr[2] // scale_factor)
+    if hr[1] % scale_factor or hr[2] % scale_factor:
+        raise ValueError(f"images too small for scale: hr={hr} lr={lr}")
+    return hr, lr
+
+
+# ---------------------------------------------------------------------------
+# Loss-weight schedule windows (reference config.py:124-166)
+# ---------------------------------------------------------------------------
+
+INF = math.inf
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWindows:
+    """Epoch-windowed step functions gating each loss term.
+
+    Each window is a half-open epoch interval [start, end). The reference
+    implements these as closures over tuples (config.py:126-133); editing the
+    windows between runs is how the "gradual adversarial weight ramp"
+    (reference README.md:55) is driven.
+    """
+
+    adv_g: Tuple[float, float] = (0, INF)
+    adv_d: Tuple[float, float] = (0, INF)
+    content: Tuple[float, float] = (0, INF)   # VGG-feature content loss
+    identity: Tuple[float, float] = (0, 0)     # plain pixel MSE
+
+    def __post_init__(self):
+        # reference config.py:154 asserts content/identity never both active
+        lo = max(self.content[0], self.identity[0])
+        hi = min(self.content[1], self.identity[1])
+        if lo < hi:
+            raise ValueError("content and identity windows must be disjoint")
+
+    @staticmethod
+    def _in(window: Tuple[float, float], epoch: int) -> bool:
+        return window[0] <= epoch < window[1]
+
+    def weights(self, epoch: int, content_loss_on_lr: bool):
+        """(w_adv_g, w_adv_d, w_cont, cont_kind) for this epoch.
+
+        cont_kind: 'vgg' | 'identity' | None. Constants replicate reference
+        config.py:137-163 bit for bit (5e-2/5e-3 adv-G, 1.0 adv-D, and the
+        x10 unsupervised factor on the content weight).
+        """
+        w_adv_g = 0.0
+        if self._in(self.adv_g, epoch):
+            w_adv_g = 5e-3 if content_loss_on_lr else 5e-2
+        w_adv_d = 1.0 if self._in(self.adv_d, epoch) else 0.0
+        f = 10.0 if content_loss_on_lr else 1.0
+        if self._in(self.content, epoch):
+            return w_adv_g, w_adv_d, 1.0 * f, "vgg"
+        if self._in(self.identity, epoch):
+            return w_adv_g, w_adv_d, 10.0 * f, "identity"
+        return w_adv_g, w_adv_d, 0.0, None
+
+
+# ---------------------------------------------------------------------------
+# Model / training configs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    """SRGAN generator hyperparameters (reference model_generator.py:23-63,
+    assembled with these exact values at config.py:79-81)."""
+
+    n_blocks: int = 16
+    n_features_block: int = 64
+    n_features_last: int = 256
+    list_scales: Tuple[int, ...] = (2,)
+    use_sn: bool = True
+    input_channels: int = 3
+    # number of grown GeneratorSuffix stages stacked on top (each adds x2).
+    n_suffixes: int = 0
+    # jax.checkpoint (rematerialization) over each residual block: trades
+    # FLOPs for HBM on large spatial sizes. No reference analog.
+    remat: bool = False
+
+    def __post_init__(self):
+        if self.n_features_last % 4 != 0:
+            raise ValueError("n_features_last must be divisible by 4")
+
+    @property
+    def scale(self) -> int:
+        s = 1
+        for x in self.list_scales:
+            s *= x
+        return s * (2 ** self.n_suffixes)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    """SRGAN discriminator (reference model_discriminator.py:19-53, values
+    from config.py:81-82)."""
+
+    input_shape: Tuple[int, int, int] = (3, 128, 128)  # (C, H, W) of HR
+    list_n_features: Tuple[int, ...] = (64, 64, 128, 128, 256, 256, 512, 512)
+    list_stride: Tuple[int, ...] = (1, 2, 1, 2, 1, 2, 1, 2)
+
+    def __post_init__(self):
+        for s in self.list_stride:
+            if s not in (1, 2):
+                raise ValueError("strides must be 1 or 2 (SRGAN paper)")
+        if len(self.list_n_features) != len(self.list_stride):
+            raise ValueError("feature/stride lists must match")
+        _, h, w = self.input_shape
+        down = 4 ** (sum(self.list_stride) - len(self.list_stride))
+        if (w * h) % down != 0:
+            raise ValueError("input spatial size must divide by total stride")
+
+    @property
+    def fc_in(self) -> int:
+        _, h, w = self.input_shape
+        down = 4 ** (sum(self.list_stride) - len(self.list_stride))
+        return w * h * self.list_n_features[-1] // down
+
+    @property
+    def fc_mid(self) -> int:
+        return self.list_n_features[-1] * 2
+
+
+@dataclasses.dataclass(frozen=True)
+class ReplayConfig:
+    """Experience-replay buffer of old generated batches
+    (reference config.py:48-54)."""
+
+    max_len: int = 1000      # dis_list_old_len
+    save_freq: int = 1       # dis_list_old_freq
+    sample_ratio: float = 0.01  # dis_list_old_ratio
+    host_offload: bool = True   # dis_list_old_cpu
+    persist: bool = True        # dis_list_old_save
+
+    @property
+    def max_samples(self) -> int:
+        """Static upper bound of replay batches per step (jit-static shape)."""
+        return int(self.max_len * self.sample_ratio)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    dataset: str = "celeba"
+    data_root: Optional[str] = None
+    write_root: str = "./checkpoints/"
+
+    generator: GeneratorConfig = GeneratorConfig()
+    batch_size: int = 16          # reference config.py:42
+    n_batch: int = -1             # cap on batches/epoch; -1 = full epoch
+    num_epochs: int = 3           # reference config.py:46
+    lr: float = 1e-5              # reference config.py:38
+    lr_decay: bool = True         # 10x exponential decay over the whole run
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    content_loss_on_lr: bool = False  # unsupervised / AmbientGAN mode
+    vgg_mask: int = 0b01111       # reference config.py:104
+    windows: LossWindows = LossWindows()
+    replay: ReplayConfig = ReplayConfig()
+    seed: Optional[int] = None    # None => draw from [1, 10000] like reference
+
+    # TPU-specific (no reference analog)
+    compute_dtype: str = "bfloat16"  # matmul/conv dtype; state stays fp32
+    bn_cross_replica: bool = True    # sync BN stats across the data mesh axis
+    mesh_shape: Tuple[int, ...] = (-1,)  # 1-D data mesh over all devices
+
+    @property
+    def scale_factor(self) -> int:
+        return self.generator.scale
+
+    def geometry(self):
+        return resolve_geometry(self.dataset, self.scale_factor)
+
+    def discriminator(self) -> DiscriminatorConfig:
+        hr, _ = self.geometry()
+        return DiscriminatorConfig(input_shape=hr)
+
+
+# ---------------------------------------------------------------------------
+# The five canonical workloads (BASELINE.json "configs")
+# ---------------------------------------------------------------------------
+
+
+def preset_x2_mse(dataset: str = "celeba", **kw) -> TrainConfig:
+    """Config 1: x2 generator, MSE-only pretrain (identity extractor).
+
+    Matches the reference recipe 'MSE pretrain' (README.md:43): D and adv-G
+    gated off, identity window open.
+    """
+    return TrainConfig(
+        dataset=dataset,
+        generator=GeneratorConfig(list_scales=(2,), n_suffixes=0),
+        windows=LossWindows(adv_g=(0, 0), adv_d=(0, 0), content=(0, 0), identity=(0, INF)),
+        **kw,
+    )
+
+
+def preset_x2_gan(dataset: str = "celeba", **kw) -> TrainConfig:
+    """Config 2: x2 full adversarial G + D + MaskedVGG content loss."""
+    return TrainConfig(
+        dataset=dataset,
+        generator=GeneratorConfig(list_scales=(2,), n_suffixes=0),
+        windows=LossWindows(),
+        **kw,
+    )
+
+
+def preset_x4_ramp(dataset: str = "flickr", ramp_epoch: int = 1, **kw) -> TrainConfig:
+    """Config 3: x4 SRGAN with gradual adversarial-weight ramp: identity-MSE
+    first, adversarial + VGG content from `ramp_epoch` on (README.md:55)."""
+    return TrainConfig(
+        dataset=dataset,
+        generator=GeneratorConfig(list_scales=(2,), n_suffixes=1),
+        windows=LossWindows(
+            adv_g=(ramp_epoch, INF), adv_d=(ramp_epoch, INF),
+            content=(ramp_epoch, INF), identity=(0, ramp_epoch),
+        ),
+        **kw,
+    )
+
+
+def preset_progressive_x2_to_x4(dataset: str = "celeba", **kw) -> TrainConfig:
+    """Config 4: progressive growth — load an x2 checkpoint, add one suffix,
+    finetune (reference progressive_gan_suffix=1, config.py:18-21,94-96)."""
+    return TrainConfig(
+        dataset=dataset,
+        generator=GeneratorConfig(list_scales=(2,), n_suffixes=1),
+        windows=LossWindows(),
+        **kw,
+    )
+
+
+def preset_x8(dataset: str = "flickr", unsupervised: bool = False, **kw) -> TrainConfig:
+    """Config 5: x8, supervised or unsupervised (no-HR / AmbientGAN,
+    reference config.py:24,128-133)."""
+    windows = (
+        LossWindows(content=(0, 0), identity=(0, INF))
+        if unsupervised else LossWindows()
+    )
+    return TrainConfig(
+        dataset=dataset,
+        generator=GeneratorConfig(list_scales=(2,), n_suffixes=2),
+        content_loss_on_lr=unsupervised,
+        windows=windows,
+        **kw,
+    )
+
+
+PRESETS = {
+    "x2_mse": preset_x2_mse,
+    "x2_gan": preset_x2_gan,
+    "x4_ramp": preset_x4_ramp,
+    "progressive_x2_x4": preset_progressive_x2_to_x4,
+    "x8": preset_x8,
+}

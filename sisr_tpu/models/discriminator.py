@@ -1,0 +1,90 @@
+"""SRGAN discriminator, TPU-native functional form.
+
+Parity with reference model_discriminator.py:18-76: SN-conv3x3 stem (stride
+from the list) + LeakyReLU, then 7 blocks [SN-conv3x3 -> BN -> LeakyReLU]
+with the SRGAN feature/stride ladder, flatten, Linear(fc_in -> 2*last) ->
+LeakyReLU -> Linear(-> 1) -> Sigmoid. The flatten-size contract (stride
+divisibility asserts, model_discriminator.py:27-36) lives in
+DiscriminatorConfig.__post_init__.
+
+We return the sigmoid probability (as the reference does) but also expose
+logits for numerically-stable BCE (the loss layer consumes logits).
+Flatten order is NHWC-native (h, w, c); the torch-import tool permutes fc
+weights accordingly when transplanting torch checkpoints.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sisr_tpu.config import DiscriminatorConfig
+from sisr_tpu.nn.layers import (
+    batchnorm_apply,
+    batchnorm_init,
+    conv2d_apply,
+    conv2d_init,
+    leaky_relu,
+    linear_apply,
+    linear_init,
+)
+from sisr_tpu.nn.spectral_norm import sn_init, sn_normalize
+
+
+def discriminator_init(key, cfg: DiscriminatorConfig):
+    nfs, strides = cfg.list_n_features, cfg.list_stride
+    keys = jax.random.split(key, 2 * len(nfs) + 2)
+
+    c0 = conv2d_init(keys[0], 3, 3, cfg.input_shape[0], nfs[0])
+    params = {"stem": {"conv": c0}}
+    state = {"stem": {"conv": sn_init(keys[1], c0["kernel"])}}
+
+    blocks_p, blocks_s = [], []
+    for i in range(1, len(nfs)):
+        kp, ks = keys[2 * i], keys[2 * i + 1]
+        cp = conv2d_init(kp, 3, 3, nfs[i - 1], nfs[i])
+        bp, bs = batchnorm_init(nfs[i])
+        blocks_p.append({"conv": cp, "bn": bp})
+        blocks_s.append({"conv": sn_init(ks, cp["kernel"]), "bn": bs})
+    params["blocks"], state["blocks"] = blocks_p, blocks_s
+
+    params["fc1"] = linear_init(keys[-2], cfg.fc_in, cfg.fc_mid)
+    params["fc2"] = linear_init(keys[-1], cfg.fc_mid, 1)
+    return params, state
+
+
+def discriminator_apply(params, state, x, *, train: bool, cfg: DiscriminatorConfig,
+                        compute_dtype=None, bn_axis: Optional[str] = None,
+                        return_logits: bool = False):
+    """Returns ((prob or logit) of shape (B,), new_state)."""
+    cd = compute_dtype
+    ns = {"stem": {}, "blocks": []}
+
+    kernel, s = sn_normalize(params["stem"]["conv"]["kernel"],
+                             state["stem"]["conv"], train=train)
+    ns["stem"]["conv"] = s
+    x = conv2d_apply(params["stem"]["conv"], x, stride=cfg.list_stride[0],
+                     compute_dtype=cd, kernel_override=kernel)
+    x = leaky_relu(x)
+
+    for i, (bp, bs) in enumerate(zip(params["blocks"], state["blocks"])):
+        stride = cfg.list_stride[i + 1]
+        kernel, s = sn_normalize(bp["conv"]["kernel"], bs["conv"], train=train)
+        y = conv2d_apply(bp["conv"], x, stride=stride, compute_dtype=cd,
+                         kernel_override=kernel)
+        y, bns = batchnorm_apply(bp["bn"], bs["bn"], y, train=train, axis_name=bn_axis)
+        x = leaky_relu(y)
+        ns["blocks"].append({"conv": s, "bn": bns})
+
+    b = x.shape[0]
+    x = x.reshape(b, -1)
+    if x.shape[1] != cfg.fc_in:
+        raise ValueError(f"flatten size {x.shape[1]} != fc_in {cfg.fc_in}")
+    x = linear_apply(params["fc1"], x, compute_dtype=cd)
+    x = leaky_relu(x)
+    x = linear_apply(params["fc2"], x, compute_dtype=cd)
+    logit = x.reshape(b).astype(jnp.float32)
+    if return_logits:
+        return logit, ns
+    return jax.nn.sigmoid(logit), ns
