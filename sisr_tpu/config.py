@@ -22,6 +22,8 @@ DATASET_GEOMETRY = {
     "mnist": ((1, 28, 28), 2),
     # synthetic procedural dataset for tests/benchmarks (no reference analog)
     "synthetic": ((3, 128, 128), 4),
+    # minimal geometry for fast CPU tests
+    "tiny": ((3, 16, 16), 2),
 }
 
 

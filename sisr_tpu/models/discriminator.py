@@ -56,13 +56,23 @@ def discriminator_init(key, cfg: DiscriminatorConfig):
 
 def discriminator_apply(params, state, x, *, train: bool, cfg: DiscriminatorConfig,
                         compute_dtype=None, bn_axis: Optional[str] = None,
-                        return_logits: bool = False):
-    """Returns ((prob or logit) of shape (B,), new_state)."""
+                        return_logits: bool = False, sn_train: Optional[bool] = None):
+    """Returns ((prob or logit) of shape (B,), new_state).
+
+    `sn_train` decouples the spectral-norm power iteration from BN's
+    batch-stats mode: the replay-slot forwards in the D update run BN in
+    train mode (batch stats, running-stat chaining — reference semantics)
+    but reuse the current (u, v) instead of iterating once per slot; SN
+    updates are input-independent, so this only changes the power-iteration
+    count per step, not what (u, v) converge to.
+    """
     cd = compute_dtype
+    if sn_train is None:
+        sn_train = train
     ns = {"stem": {}, "blocks": []}
 
     kernel, s = sn_normalize(params["stem"]["conv"]["kernel"],
-                             state["stem"]["conv"], train=train)
+                             state["stem"]["conv"], train=sn_train)
     ns["stem"]["conv"] = s
     x = conv2d_apply(params["stem"]["conv"], x, stride=cfg.list_stride[0],
                      compute_dtype=cd, kernel_override=kernel)
@@ -70,7 +80,7 @@ def discriminator_apply(params, state, x, *, train: bool, cfg: DiscriminatorConf
 
     for i, (bp, bs) in enumerate(zip(params["blocks"], state["blocks"])):
         stride = cfg.list_stride[i + 1]
-        kernel, s = sn_normalize(bp["conv"]["kernel"], bs["conv"], train=train)
+        kernel, s = sn_normalize(bp["conv"]["kernel"], bs["conv"], train=sn_train)
         y = conv2d_apply(bp["conv"], x, stride=stride, compute_dtype=cd,
                          kernel_override=kernel)
         y, bns = batchnorm_apply(bp["bn"], bs["bn"], y, train=train, axis_name=bn_axis)

@@ -56,12 +56,14 @@ def conv2d_apply(params, x, *, stride: int = 1, padding: str | int = "SAME",
         pad = [(padding, padding), (padding, padding)]
     else:
         pad = padding
+    # output dtype == compute dtype: the MXU still accumulates fp32
+    # internally for bf16 operands, and keeping in/out dtypes equal is what
+    # makes the conv transpose (backward pass) well-defined.
     y = lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     return y + bias.astype(y.dtype)
 
@@ -80,7 +82,7 @@ def linear_apply(params, x, *, compute_dtype=None):
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    y = jnp.dot(x, w)
     return y + bias.astype(y.dtype)
 
 
