@@ -1,0 +1,7 @@
+from sisr_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    replicated,
+    batch_sharded,
+    shard_train_step,
+    shard_batch,
+)

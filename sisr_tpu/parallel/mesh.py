@@ -1,0 +1,71 @@
+"""Data parallelism over a TPU device mesh.
+
+This layer replaces the reference's entire distributed surface —
+`nn.DataParallel(net, [0..ngpu))` applied to G, D, and the VGG extractor
+(reference config.py:114-118) — with the idiomatic JAX recipe: build a
+1-D `jax.sharding.Mesh` over all devices, annotate the train step's inputs
+(params/state/optimizer replicated, batch and replay sharded on the 'data'
+axis), and let GSPMD insert the collectives. Gradient all-reduce rides ICI
+within a slice and DCN across hosts with no further code.
+
+Sync-BN note: because the batch axis is sharded and BatchNorm reduces over
+it with plain jnp.mean, the partitioner computes *global* batch statistics
+(cross-replica sync BN) automatically. The reference's DataParallel computes
+per-replica stats as an implementation accident; we standardize on synced
+stats (stated choice, SURVEY.md §7 'hard parts').
+
+Scaling beyond one host: initialize jax.distributed and the same code runs
+unchanged — the mesh spans all processes' devices.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data mesh over (the first n of) all visible devices."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), ("data",))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    spec = [None] * (axis + 1)
+    spec[axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host array on the mesh, sharded along dim 0."""
+    return jax.device_put(batch, batch_sharded(mesh))
+
+
+def shard_train_step(step_fn, mesh: Mesh, donate: bool = True):
+    """Wrap an *unjitted* train step (sisr_tpu.train.step.make_train_step
+    with jit=False) with data-parallel shardings.
+
+    Inputs: (ts, hr, hr_d, replay, replay_mask, weights)
+      ts / weights replicated; hr, hr_d sharded on batch dim 0; the replay
+      stack (R, B, H, W, C) sharded on its *batch* dim 1; the replay mask
+      replicated.
+    Outputs: (ts, fake, metrics) — ts and metrics replicated, fake sharded.
+    """
+    repl = replicated(mesh)
+    b0 = batch_sharded(mesh, 0)
+    b1 = batch_sharded(mesh, 1)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, b0, b0, b1, repl, repl),
+        out_shardings=(repl, b0, repl),
+        donate_argnums=(0,) if donate else (),
+    )

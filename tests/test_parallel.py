@@ -1,0 +1,70 @@
+"""Data-parallel semantics on the virtual 8-device CPU mesh (the 'fake
+backend' of SURVEY.md §4): a sharded step must match the single-device step
+bit-for-bit-ish, since BN stats are globally synced by construction."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sisr_tpu.config import GeneratorConfig, ReplayConfig, TrainConfig
+from sisr_tpu.nn.pytree import flatten_with_paths
+from sisr_tpu.parallel import make_mesh, shard_batch, shard_train_step
+from sisr_tpu.train import init_train_state, make_train_step
+
+
+def _cfg():
+    return TrainConfig(dataset="tiny",
+                       generator=GeneratorConfig(n_blocks=2, n_features_block=8,
+                                                 n_features_last=16),
+                       compute_dtype="float32", lr=1e-3, lr_decay=False,
+                       replay=ReplayConfig(max_len=20, sample_ratio=0.1))
+
+
+def test_mesh_spans_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 host devices
+
+
+def test_dp_step_matches_single_device(rng):
+    cfg = _cfg()
+    ts1 = init_train_state(jax.random.PRNGKey(0), cfg)
+    ts2 = jax.tree_util.tree_map(jnp.copy, ts1)
+
+    hr_s, _ = cfg.geometry()
+    b = 8  # divisible by mesh size
+    hr = rng.uniform(-1, 1, (b, hr_s[1], hr_s[2], hr_s[0])).astype(np.float32)
+    R = cfg.replay.max_samples
+    replay = rng.uniform(-1, 1, (R, b, hr_s[1], hr_s[2], hr_s[0])).astype(np.float32)
+    rmask = np.array([1.0] + [0.0] * (R - 1), np.float32)
+    w = (jnp.float32(5e-2), jnp.float32(1.0), jnp.float32(10.0))
+
+    # single device
+    step1 = make_train_step(cfg, 100, d_active=True, g_adv_active=True,
+                            cont_kind="identity", jit=True)
+    ts1, fake1, m1 = step1(ts1, jnp.asarray(hr), jnp.asarray(hr),
+                           jnp.asarray(replay), jnp.asarray(rmask), w)
+
+    # 8-device data parallel
+    mesh = make_mesh()
+    raw = make_train_step(cfg, 100, d_active=True, g_adv_active=True,
+                          cont_kind="identity", jit=False)
+    step8 = shard_train_step(raw, mesh, donate=False)
+    hr_sh = shard_batch(mesh, jnp.asarray(hr))
+    ts2, fake8, m8 = step8(ts2, hr_sh, hr_sh, jnp.asarray(replay),
+                           jnp.asarray(rmask), w)
+
+    # fp32 reduction-order noise across shards bounds the comparison
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=3e-3,
+                                   atol=1e-4, err_msg=k)
+    np.testing.assert_allclose(np.asarray(fake1), np.asarray(fake8),
+                               rtol=1e-3, atol=1e-4)
+    f1 = flatten_with_paths(ts1["params_g"])
+    f8 = flatten_with_paths(ts2["params_g"])
+    for p in f1:
+        # atol bound = 2.5 Adam steps: conv biases that feed straight into
+        # BatchNorm have exactly-zero true gradient, so their first Adam
+        # update is sign(fp-noise) * lr — layout-dependent and semantically
+        # irrelevant. Everything else agrees far tighter.
+        np.testing.assert_allclose(np.asarray(f1[p]), np.asarray(f8[p]),
+                                   rtol=1e-3, atol=2.5 * 1e-3, err_msg=p)
