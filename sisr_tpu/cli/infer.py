@@ -1,0 +1,98 @@
+"""Inference/eval CLI — the non-interactive replacement for
+`python3 visualisation.py` (reference visualisation.py:16-77).
+
+Per image: LR = lr_from_hr(HR), SR = G(LR), UR = G(HR); prints range
+violations like the reference (:49-51), renders the 4-column nearest/
+bicubic comparison figure, and — beyond the reference — reports PSNR/SSIM
+(vs bicubic upscaling as the baseline) and supports tiled SR of large
+images.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sisr_tpu import config as C
+from sisr_tpu.checkpoint import load_checkpoint, transplant
+from sisr_tpu.config import GeneratorConfig
+from sisr_tpu.data.pipeline import make_dataset
+from sisr_tpu.infer import make_sr_fn, tiled_sr
+from sisr_tpu.metrics import psnr, ssim
+from sisr_tpu.models.generator import generator_init
+from sisr_tpu.ops.resize import bicubic_resize, lr_from_hr
+from sisr_tpu.viz import save_comparison_figure
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="sisr_tpu inference/eval")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--dataset", default="synthetic")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--n-images", type=int, default=4)
+    ap.add_argument("--n-suffixes", type=int, default=1,
+                    help="generator growth stages (x4 default, like the "
+                         "reference's visualisation.py:17-19)")
+    ap.add_argument("--out-dir", default="./eval_out/")
+    ap.add_argument("--tiled", action="store_true",
+                    help="halo-tiled SR (for large inputs)")
+    ap.add_argument("--no-usr", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    gen_cfg = GeneratorConfig(n_suffixes=args.n_suffixes)
+    scale = gen_cfg.scale
+    hr_s, lr_s = C.resolve_geometry(args.dataset, scale)
+
+    params, state = generator_init(jax.random.PRNGKey(0), gen_cfg)
+    ckpt = load_checkpoint(args.checkpoint)
+    if not ckpt:
+        raise SystemExit(f"cannot read checkpoint {args.checkpoint}")
+    params, rep = transplant(params, ckpt["net_g"]["params"])
+    state, _ = transplant(state, ckpt["net_g"]["state"])
+    print(rep)
+
+    ds = make_dataset(args.dataset, args.data_root, hr_s)
+    os.makedirs(args.out_dir, exist_ok=True)
+    fwd = make_sr_fn(gen_cfg, compute_dtype=jnp.bfloat16)
+
+    psnrs, ssims, psnrs_bicubic = [], [], []
+    for i in range(min(args.n_images, len(ds))):
+        hr = ds[i][None]  # (1, H, W, C)
+        lr = np.asarray(lr_from_hr(jnp.asarray(hr), (lr_s[1], lr_s[2])))
+        if args.tiled:
+            sr = tiled_sr(params, state, lr, gen_cfg,
+                          compute_dtype=jnp.bfloat16)[None] \
+                if lr.ndim == 3 else tiled_sr(params, state, lr, gen_cfg)
+        else:
+            sr = np.asarray(fwd(params, state, jnp.asarray(lr)))
+        rows = [("LR", lr[0]), ("SR", sr[0]), ("HR", hr[0])]
+        if not args.no_usr:
+            ur = np.asarray(fwd(params, state, jnp.asarray(hr)))
+            rows.append(("UR", ur[0]))
+            if ur.min() < -1.0 or ur.max() > 1.0:
+                print(f"image {i}: UR range violation "
+                      f"[{ur.min():.3f}, {ur.max():.3f}]")
+        # range check like reference visualisation.py:49-51
+        if sr.min() < -1.0 or sr.max() > 1.0:
+            print(f"image {i}: SR range violation "
+                  f"[{sr.min():.3f}, {sr.max():.3f}]")
+        save_comparison_figure(rows, os.path.join(args.out_dir, f"img{i}"))
+
+        bic = np.asarray(bicubic_resize(jnp.asarray(lr), (hr_s[1], hr_s[2])))
+        psnrs.append(float(psnr(jnp.asarray(sr), jnp.asarray(hr))))
+        ssims.append(float(ssim(jnp.asarray(sr), jnp.asarray(hr))))
+        psnrs_bicubic.append(float(psnr(jnp.asarray(bic), jnp.asarray(hr))))
+
+    print(f"SR  PSNR {np.mean(psnrs):.2f} dB   SSIM {np.mean(ssims):.4f}")
+    print(f"bicubic-upscale PSNR {np.mean(psnrs_bicubic):.2f} dB (baseline)")
+    print("figures in", args.out_dir)
+    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+            "psnr_bicubic": float(np.mean(psnrs_bicubic))}
+
+
+if __name__ == "__main__":
+    main()

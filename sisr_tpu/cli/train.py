@@ -1,0 +1,124 @@
+"""Training CLI — the non-interactive replacement for `python3 train.py`.
+
+Every knob of the reference's executable config module (reference
+config.py:18-73) is a flag here; the two interactive input() prompts
+(checkpoint path config.py:310, save confirm utils.py:98) become
+--checkpoint and --no-save.
+
+Examples:
+  python -m sisr_tpu.cli.train --preset x2_mse --dataset synthetic \
+      --num-epochs 1 --n-batch 8 --batch-size 4
+  python -m sisr_tpu.cli.train --preset x2_gan --dataset celeba \
+      --data-root /data/celeba --checkpoint ./checkpoints/0
+  python -m sisr_tpu.cli.train --progressive-suffix 1 --checkpoint ck_x2 \
+      --freeze-prefix   # grow x2 -> x4, finetune the new stage
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from sisr_tpu import config as C
+from sisr_tpu.checkpoint import load_checkpoint
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="sisr_tpu trainer")
+    ap.add_argument("--preset", choices=sorted(C.PRESETS), default="x2_gan")
+    ap.add_argument("--dataset", default=None,
+                    help="celeba | flickr | mnist | synthetic")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--write-root", default="./checkpoints/")
+    ap.add_argument("--checkpoint", default=None,
+                    help="path of a checkpoint to resume/transplant from")
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--n-batch", type=int, default=None,
+                    help="cap batches/epoch (-1 = full epoch)")
+    ap.add_argument("--num-epochs", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--no-lr-decay", action="store_true")
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--progressive-suffix", type=int, default=None,
+                    choices=[0, 1, 2, 3, 4])
+    ap.add_argument("--freeze-prefix", action="store_true")
+    ap.add_argument("--freeze-upscale", action="store_true")
+    ap.add_argument("--freeze-end", action="store_true")
+    ap.add_argument("--unsupervised", action="store_true",
+                    help="content loss on LR (AmbientGAN mode)")
+    ap.add_argument("--vgg-weights", default=None,
+                    help=".npz from tools/port_vgg_weights.py")
+    ap.add_argument("--compute-dtype", default=None,
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--no-sn", action="store_true",
+                    help="disable spectral norm on the generator")
+    ap.add_argument("--no-save", action="store_true")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard the batch over all visible devices")
+    ap.add_argument("--synthetic-len", type=int, default=512)
+    return ap
+
+
+def config_from_args(args) -> C.TrainConfig:
+    kw = {}
+    if args.dataset:
+        kw["dataset"] = args.dataset
+    if args.preset == "x8":
+        cfg = C.PRESETS[args.preset](unsupervised=args.unsupervised, **kw)
+    else:
+        cfg = C.PRESETS[args.preset](**kw)
+
+    updates = {}
+    for field, val in [
+        ("data_root", args.data_root), ("write_root", args.write_root),
+        ("batch_size", args.batch_size), ("n_batch", args.n_batch),
+        ("num_epochs", args.num_epochs), ("lr", args.lr),
+        ("seed", args.seed), ("progressive_suffix", args.progressive_suffix),
+        ("vgg_weights", args.vgg_weights),
+        ("compute_dtype", args.compute_dtype),
+    ]:
+        if val is not None:
+            updates[field] = val
+    if args.no_lr_decay:
+        updates["lr_decay"] = False
+    if args.freeze_prefix:
+        updates["freeze_prefix"] = True
+    if args.freeze_upscale:
+        updates["freeze_upscale"] = True
+    if args.freeze_end:
+        updates["freeze_end"] = True
+    if args.unsupervised and args.preset != "x8":
+        updates["content_loss_on_lr"] = True
+    if args.no_sn:
+        updates["generator"] = dataclasses.replace(cfg.generator, use_sn=False)
+    return dataclasses.replace(cfg, **updates)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    print("write_root:", cfg.write_root)
+    print("progressive_suffix:", cfg.progressive_suffix,
+          " content_loss_on_lr:", cfg.content_loss_on_lr)
+    print("lr_decay:", cfg.lr_decay, " use_sn:", cfg.generator.use_sn,
+          " list_scales:", list(cfg.generator.list_scales),
+          " scale_factor:", cfg.scale_factor)
+
+    checkpoint = load_checkpoint(args.checkpoint) if args.checkpoint else {}
+    if checkpoint:
+        print("checkpoint loaded, starting_epoch", checkpoint.get("epoch", 0))
+
+    mesh = None
+    if args.data_parallel:
+        from sisr_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        print("mesh:", mesh)
+
+    from sisr_tpu.train.loop import train
+    result = train(cfg, checkpoint=checkpoint, mesh=mesh,
+                   save=not args.no_save, synthetic_len=args.synthetic_len)
+    print("final metrics:", result.metrics)
+    return result
+
+
+if __name__ == "__main__":
+    main()

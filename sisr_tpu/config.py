@@ -197,6 +197,22 @@ class TrainConfig:
     replay: ReplayConfig = ReplayConfig()
     seed: Optional[int] = None    # None => draw from [1, 10000] like reference
 
+    # progressive growth knob, reference config.py:18-21:
+    #   0: load x2          1: load x2, add a stage -> x4
+    #   2: load x4          3: load x4, add a stage -> x8
+    #   4: load x8
+    # None: use generator.n_suffixes directly with a plain load.
+    progressive_suffix: Optional[int] = None
+    # freeze the transplanted prefix when growing (reference GeneratorSuffix
+    # freeze_prefix / Generator.freeze kwargs, model_generator.py:103-131)
+    freeze_prefix: bool = False
+    freeze_upscale: bool = False
+    freeze_end: bool = False
+
+    # path to an .npz from tools/port_vgg_weights.py; None => fixed random
+    # feature extractor (documented fallback, models/vgg.py)
+    vgg_weights: Optional[str] = None
+
     # TPU-specific (no reference analog)
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; state stays fp32
     bn_cross_replica: bool = True    # sync BN stats across the data mesh axis
@@ -204,6 +220,15 @@ class TrainConfig:
 
     @property
     def scale_factor(self) -> int:
+        # reference config.py:60: scale = prod(list_scales) * (4 if
+        # suffix>=3 else 2 if suffix>=1 else 1)
+        if self.progressive_suffix is not None:
+            ps = self.progressive_suffix
+            mult = 4 if ps >= 3 else 2 if ps >= 1 else 1
+            base = 1
+            for x in self.generator.list_scales:
+                base *= x
+            return base * mult
         return self.generator.scale
 
     def geometry(self):

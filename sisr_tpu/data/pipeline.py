@@ -1,0 +1,240 @@
+"""Host-side input pipeline feeding the device.
+
+Replaces the reference's torchvision datasets + DataLoader machinery
+(reference config.py:202-277, utils.py:199-209) with a dependency-light
+numpy/PIL pipeline:
+
+- datasets return HR images as NHWC float32 in [-1, 1]
+  (Resize -> ToTensor -> Normalize(.5,.5,.5) semantics, config.py:224-244);
+- deterministic index-range splits replicate SamplerRange: with
+  n = (len - batch_size) // 2, the supervised loader covers [0, 2n), the
+  unsupervised DoubleLoader zips the disjoint halves [0, n) and [n, 2n)
+  (config.py:248-269), and the held-out test batch is the *last*
+  batch_size images (config.py:271-272);
+- drop_last=True everywhere, like the reference;
+- a background-thread prefetcher stands in for the reference's two
+  dataloader worker subprocesses (config.py:251).
+
+The synthetic dataset (procedural smooth textures, deterministic by index)
+has no reference analog; it exists so tests and benchmarks run with zero
+data dependencies.
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp", ".ppm"}
+
+
+# ---------------------------------------------------------------------------
+# datasets: __len__ + __getitem__ -> HWC float32 in [-1, 1]
+# ---------------------------------------------------------------------------
+
+
+class SyntheticDataset:
+    """Procedural smooth random textures, deterministic per index."""
+
+    def __init__(self, hr_size: Tuple[int, int, int], length: int = 512):
+        self.c, self.h, self.w = hr_size
+        self.length = length
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        rng = np.random.default_rng(i)
+        # sum of low-frequency gratings + mild noise, then squash to [-1, 1]
+        yy, xx = np.mgrid[0:self.h, 0:self.w].astype(np.float32)
+        img = np.zeros((self.h, self.w, self.c), np.float32)
+        for _ in range(6):
+            fx, fy = rng.uniform(0.5, 6, 2)
+            ph = rng.uniform(0, 2 * np.pi, self.c).astype(np.float32)
+            amp = rng.uniform(0.2, 0.8)
+            wave = np.sin(2 * np.pi * (fx * xx / self.w + fy * yy / self.h))
+            img += amp * wave[..., None] * np.cos(ph)[None, None, :]
+        img += rng.normal(0, 0.05, img.shape).astype(np.float32)
+        return np.tanh(img).astype(np.float32)
+
+
+class ImageFolderDataset:
+    """Recursive image-folder reader (reference dset.ImageFolder semantics:
+    sorted file order, any class subdirectories)."""
+
+    def __init__(self, root: str, hr_size: Tuple[int, int, int]):
+        from PIL import Image  # noqa: F401  (import check)
+        self.root = root
+        self.c, self.h, self.w = hr_size
+        files = []
+        for dirpath, _, names in sorted(os.walk(root)):
+            for n in sorted(names):
+                if os.path.splitext(n)[1].lower() in IMG_EXTS:
+                    files.append(os.path.join(dirpath, n))
+        if not files:
+            raise FileNotFoundError(f"no images under {root}")
+        self.files = files
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        from PIL import Image
+        img = Image.open(self.files[i])
+        img = img.convert("RGB" if self.c == 3 else "L")
+        # torchvision Resize((h, w)) default = bilinear (config.py:226)
+        img = img.resize((self.w, self.h), Image.BILINEAR)
+        arr = np.asarray(img, np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr * 2.0 - 1.0  # Normalize(.5, .5) => [-1, 1]
+
+
+class MNISTDataset:
+    """MNIST from the standard idx files (train images), resized if needed
+    (reference config.py:236-243)."""
+
+    def __init__(self, root: str, hr_size: Tuple[int, int, int]):
+        import gzip
+        self.c, self.h, self.w = hr_size
+        path = None
+        for cand in ("train-images-idx3-ubyte", "train-images.idx3-ubyte",
+                     "MNIST/raw/train-images-idx3-ubyte"):
+            p = os.path.join(root, cand)
+            if os.path.exists(p) or os.path.exists(p + ".gz"):
+                path = p
+                break
+        if path is None:
+            raise FileNotFoundError(f"no MNIST idx files under {root}")
+        opener = (lambda p: gzip.open(p + ".gz", "rb")) \
+            if not os.path.exists(path) else (lambda p: open(p, "rb"))
+        with opener(path) as f:
+            data = f.read()
+        n = int.from_bytes(data[4:8], "big")
+        h = int.from_bytes(data[8:12], "big")
+        w = int.from_bytes(data[12:16], "big")
+        self.images = np.frombuffer(data, np.uint8, n * h * w, 16).reshape(n, h, w)
+        self.native_hw = (h, w)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        arr = self.images[i].astype(np.float32) / 255.0
+        if (self.h, self.w) != self.native_hw:
+            from PIL import Image
+            img = Image.fromarray((arr * 255).astype(np.uint8))
+            arr = np.asarray(img.resize((self.w, self.h), Image.BILINEAR),
+                             np.float32) / 255.0
+        return (arr[:, :, None] * 2.0 - 1.0).astype(np.float32)
+
+
+def make_dataset(name: str, root: Optional[str], hr_size: Tuple[int, int, int],
+                 synthetic_len: int = 512):
+    if name == "synthetic" or root is None:
+        if name not in ("synthetic",) and root is None:
+            print(f"[data] no data_root for '{name}' — using synthetic stand-in")
+        return SyntheticDataset(hr_size, synthetic_len)
+    if name == "mnist":
+        return MNISTDataset(root, hr_size)
+    return ImageFolderDataset(root, hr_size)
+
+
+# ---------------------------------------------------------------------------
+# loaders
+# ---------------------------------------------------------------------------
+
+
+class BatchLoader:
+    """Sequential index-range loader with drop_last and thread prefetch."""
+
+    def __init__(self, dataset, indices: Sequence[int], batch_size: int,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.batch_size = batch_size
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.indices) // self.batch_size  # drop_last=True
+
+    def _produce(self, q: "queue.Queue"):
+        n = len(self)
+        for b in range(n):
+            idx = self.indices[b * self.batch_size:(b + 1) * self.batch_size]
+            batch = np.stack([self.dataset[i] for i in idx])
+            q.put(batch)
+        q.put(None)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+
+class DoubleLoader:
+    """Zips two loaders over disjoint halves (reference DoubleDataloader,
+    config.py:254-260)."""
+
+    def __init__(self, l1: BatchLoader, l2: BatchLoader):
+        assert len(l1) == len(l2)
+        self.l1, self.l2 = l1, l2
+
+    def __len__(self):
+        return len(self.l1)
+
+    def __iter__(self):
+        return zip(self.l1, self.l2)
+
+
+def build_data(cfg, synthetic_len: int = 512):
+    """Full reference gen_dataset flow (config.py:202-277). Returns
+    (loader, (test_hr, test_lr), n_batch) where loader yields
+    (hr, hr_d) pairs — identical arrays in supervised mode."""
+    from sisr_tpu.ops.resize import lr_from_hr
+    import jax.numpy as jnp
+
+    hr_s, lr_s = cfg.geometry()
+    ds = make_dataset(cfg.dataset, cfg.data_root, hr_s, synthetic_len)
+    n = (len(ds) - cfg.batch_size) // 2
+    if n < cfg.batch_size // 2:
+        raise ValueError(f"dataset too small: {len(ds)}")
+
+    if not cfg.content_loss_on_lr:
+        base = BatchLoader(ds, range(0, 2 * n), cfg.batch_size)
+        loader = _Paired(base)
+        size = len(base)
+    else:
+        l1 = BatchLoader(ds, range(0, n), cfg.batch_size)
+        l2 = BatchLoader(ds, range(n, 2 * n), cfg.batch_size)
+        loader = DoubleLoader(l1, l2)
+        size = len(l1)
+
+    test_hr = np.stack([ds[i] for i in range(len(ds) - cfg.batch_size, len(ds))])
+    test_lr = np.asarray(lr_from_hr(jnp.asarray(test_hr), (lr_s[1], lr_s[2])))
+
+    if cfg.n_batch != -1:
+        size = min(size, cfg.n_batch)
+    return loader, (test_hr, test_lr), size
+
+
+class _Paired:
+    """Supervised mode: yields (hr, hr) so the step signature is uniform."""
+
+    def __init__(self, loader: BatchLoader):
+        self.loader = loader
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for b in self.loader:
+            yield b, b

@@ -1,0 +1,129 @@
+"""Inference: jitted SR at fixed sizes + overlapping-patch tiled SR for
+arbitrarily large images.
+
+The reference's generator is fully convolutional and is applied to any
+input size directly (UR = G(HR), reference visualisation.py:53), bounded
+only by memory — the report notes 1024^2 is >=64x costlier, which is why
+large images were never used (SURVEY.md §5 'long-context'). The TPU-native
+answer is halo tiling (BASELINE.json north star): decompose the input into
+fixed-size tiles with overlap, batch the tiles through one compiled
+generator call, and blend the overlapping output borders with linear
+feathering. Fixed tile shapes mean ONE compilation for any image size, and
+the tile batch keeps the MXU full.
+
+The halo must cover the generator's receptive-field bleed: each 3x3 conv
+adds 1px, the 9x9 stem adds 4px; 16 blocks x 2 convs + stem + trunk-end +
+upscale convs => ~40px at LR scale for the default net. `halo=48` gives
+slack; correctness vs direct full-image inference is asserted in tests at
+loose tolerance and visually indistinguishable.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sisr_tpu.config import GeneratorConfig
+from sisr_tpu.models.generator import generator_apply
+
+
+def make_sr_fn(gen_cfg: GeneratorConfig, *, compute_dtype=None,
+               batch_stats: bool = True):
+    """Jitted fixed-shape SR forward. `batch_stats=True` matches the
+    reference's always-train-mode BN (visualisation.py never calls eval);
+    False uses the checkpointed running stats."""
+
+    @jax.jit
+    def fwd(params, state, x):
+        y, _ = generator_apply(params, state, x, train=batch_stats,
+                               cfg=gen_cfg, compute_dtype=compute_dtype)
+        return y
+
+    return fwd
+
+
+def receptive_field_lr(gen_cfg: GeneratorConfig) -> int:
+    """Pixels of edge bleed at LR scale: 9x9 stem (+4), 2 convs per block,
+    trunk-end conv, and one conv per upscale stage (upscale convs act before
+    depth-to-space, so still at LR scale)."""
+    n_up = len(gen_cfg.list_scales) + gen_cfg.n_suffixes
+    return 4 + 2 * gen_cfg.n_blocks + 1 + n_up + 1  # +1 end conv (post-shuffle, conservative)
+
+
+def tiled_sr(params, state, image: np.ndarray, gen_cfg: GeneratorConfig, *,
+             tile: int = 128, margin: Optional[int] = None,
+             tile_batch: int = 16, compute_dtype=None,
+             batch_stats: bool = False) -> np.ndarray:
+    """Super-resolve one large NHWC image (or HWC) via valid-region tiling.
+
+    The LR plane is covered by `tile`x`tile` patches overlapping by
+    2*margin; each SR patch is cropped by `margin*scale` on every non-
+    boundary edge before pasting, so every output pixel comes from a patch
+    where it sits outside the receptive-field bleed — the result is exact
+    (fp-identical up to conv tiling) vs direct full-image inference, at a
+    fixed compiled shape for any image size. `margin` defaults to the
+    generator's analytic receptive field.
+
+    Tiling requires input-independent normalization, so BN runs on the
+    checkpointed running stats (`batch_stats=False`) — per-tile batch stats
+    would give each tile different statistics and produce seams.
+    """
+    scale = gen_cfg.scale
+    squeeze = image.ndim == 3
+    if squeeze:
+        image = image[None]
+    _, H, W, C = image.shape
+    if margin is None:
+        margin = receptive_field_lr(gen_cfg)
+
+    fwd = make_sr_fn(gen_cfg, compute_dtype=compute_dtype,
+                     batch_stats=batch_stats)
+
+    if H <= tile and W <= tile:
+        out = np.asarray(fwd(params, state, jnp.asarray(image)))
+        return out[0] if squeeze else out
+
+    stride = tile - 2 * margin
+    if stride <= 0:
+        raise ValueError(f"tile {tile} too small for margin {margin}")
+
+    def _starts(n):
+        if n <= tile:
+            return [0]
+        ss = list(range(0, n - tile, stride))
+        ss.append(n - tile)
+        return ss
+
+    ys, xs = _starts(H), _starts(W)
+    coords = [(y, x) for y in ys for x in xs]
+    patches = np.stack([image[0, y:y + tile, x:x + tile] for y, x in coords])
+
+    k = len(coords)
+    sr_patches = np.zeros((k, tile * scale, tile * scale, C), np.float32)
+    for b in range(0, math.ceil(k / tile_batch) * tile_batch, tile_batch):
+        chunk = patches[b:b + tile_batch]
+        n_real = len(chunk)
+        if n_real == 0:
+            break
+        if n_real < tile_batch:  # pad to the compiled batch shape
+            chunk = np.concatenate(
+                [chunk, np.zeros((tile_batch - n_real, tile, tile, C),
+                                 np.float32)])
+        out = np.asarray(fwd(params, state, jnp.asarray(chunk)))
+        sr_patches[b:b + n_real] = out[:n_real]
+
+    result = np.zeros((H * scale, W * scale, C), np.float32)
+    m = margin
+    for (y, x), sr in zip(coords, sr_patches):
+        t0 = 0 if y == 0 else m            # crop (LR units)
+        l0 = 0 if x == 0 else m
+        b0 = 0 if y + tile == H else m
+        r0 = 0 if x + tile == W else m
+        result[(y + t0) * scale:(y + tile - b0) * scale,
+               (x + l0) * scale:(x + tile - r0) * scale] = \
+            sr[t0 * scale:(tile - b0) * scale, l0 * scale:(tile - r0) * scale]
+    return result if squeeze else result[None]

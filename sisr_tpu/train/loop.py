@@ -1,0 +1,265 @@
+"""Training orchestration: the imperative shell around the jitted step.
+
+Replicates the reference's experiment assembly (config.py:334-346) and
+training loop (train.py:21-125) without import-time side effects or
+interactive prompts:
+
+- seeding: explicit seed or a printed random draw from [1, 10000]
+  (reference gen_seed, config.py:192-198);
+- progressive wiring via `progressive_suffix` 0..4 exactly as reference
+  config.py:18-21,83-96: {0,2,4} build the (suffixed) arch then load the
+  checkpoint; {1,3} load first and then grow a fresh suffix;
+- per-epoch loss gating through compiled step variants;
+- replay buffer store/sample around every step (train.py:59-71);
+- the reference's loop quirks kept: the last batch of each epoch is used
+  for the visual snapshot and then skipped (train.py:35-38), `plot_first`
+  snapshots before training, stats printed every n_batch//10 iterations,
+  per-iteration loss histories, and the final "train loop in N s" print;
+- epoch-end additions the reference lacks: PSNR/SSIM on the held-out test
+  batch (BASELINE.md requirement).
+"""
+from __future__ import annotations
+
+import dataclasses
+import random
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sisr_tpu.checkpoint import (
+    pack_train_state,
+    restore_train_state,
+    save_checkpoint,
+    transplant,
+)
+from sisr_tpu.config import GeneratorConfig, TrainConfig
+from sisr_tpu.metrics import psnr, ssim
+from sisr_tpu.models.discriminator import discriminator_init
+from sisr_tpu.models.generator import (
+    generator_apply,
+    generator_freeze_prefixes,
+    generator_init,
+    grow_suffix,
+)
+from sisr_tpu.models.vgg import VGGConfig, vgg_init
+from sisr_tpu.train.optim import make_adam, trainable_mask
+from sisr_tpu.train.replay import ReplayBuffer
+from sisr_tpu.train.step import epoch_step_builder
+from sisr_tpu.data.pipeline import build_data
+
+
+_PRE_SUFFIXES = {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}  # arch built before load
+_GROW_AFTER = {1, 3}                              # grow a new stage post-load
+
+
+def resolve_seed(seed: Optional[int]) -> int:
+    if seed is None:
+        seed = random.randint(1, 10000)
+    print("Random Seed: ", seed)
+    return seed
+
+
+def effective_generator_cfg(cfg: TrainConfig) -> GeneratorConfig:
+    """Final (post-growth) generator architecture."""
+    if cfg.progressive_suffix is None:
+        return cfg.generator
+    n = _PRE_SUFFIXES[cfg.progressive_suffix] + (
+        1 if cfg.progressive_suffix in _GROW_AFTER else 0)
+    return dataclasses.replace(cfg.generator, n_suffixes=n)
+
+
+def assemble_state(key, cfg: TrainConfig, checkpoint: Dict,
+                   verbose: bool = True):
+    """Build G/D/optimizers with checkpoint restore + progressive growth.
+
+    Returns (ts, mask_g, reports). Mirrors reference gen_modules
+    (config.py:77-120) + gen_optimizers (config.py:292-304).
+    """
+    kg, kd, kgrow = jax.random.split(key, 3)
+    ps = cfg.progressive_suffix
+    final_gen = effective_generator_cfg(cfg)
+
+    pre_gen = final_gen if ps is None else dataclasses.replace(
+        cfg.generator, n_suffixes=_PRE_SUFFIXES[ps])
+    params_g, state_g = generator_init(kg, pre_gen)
+
+    reports = {}
+    grown = ps in _GROW_AFTER if ps is not None else False
+    if checkpoint:
+        params_g, rp = transplant(params_g, checkpoint["net_g"]["params"])
+        state_g, _ = transplant(state_g, checkpoint["net_g"]["state"])
+        reports["net_g"] = rp
+        if verbose:
+            print("[net_g]", rp, sep="\n")
+    if grown:
+        params_g, state_g = grow_suffix(kgrow, params_g, state_g, cfg.generator)
+
+    dis_cfg = cfg.discriminator()
+    params_d, state_d = discriminator_init(kd, dis_cfg)
+    if checkpoint:
+        params_d, rd = transplant(params_d, checkpoint["net_d"]["params"])
+        state_d, _ = transplant(state_d, checkpoint["net_d"]["state"])
+        reports["net_d"] = rd
+
+    adam = make_adam(cfg.adam_b1, cfg.adam_b2)
+    ts = {
+        "params_g": params_g, "state_g": state_g, "opt_g": adam.init(params_g),
+        "params_d": params_d, "state_d": state_d, "opt_d": adam.init(params_d),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    if checkpoint and not grown:
+        ts, _ = restore_train_state(
+            ts, {k: checkpoint[k] for k in ("opti_g", "opti_d", "step")
+                 if k in checkpoint}, verbose=verbose)
+
+    mask_g = None
+    if cfg.freeze_prefix and final_gen.n_suffixes > 0:
+        prefixes = generator_freeze_prefixes(
+            final_gen.n_suffixes, freeze_upscale=cfg.freeze_upscale,
+            freeze_end=cfg.freeze_end)
+        mask_g = trainable_mask(params_g, prefixes)
+    return ts, mask_g, reports
+
+
+def make_infer_fn(cfg: TrainConfig, gen_cfg):
+    """Jitted generator forward for snapshots/eval. Train-mode BN (batch
+    stats), exactly like the reference which never calls .eval()
+    (train.py/visualisation.py); state updates discarded."""
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+    @jax.jit
+    def fwd(params, state, x):
+        y, _ = generator_apply(params, state, x, train=True, cfg=gen_cfg,
+                               compute_dtype=cd)
+        return y
+
+    return fwd
+
+
+def snapshot(infer_fn, ts, test_lr, test_hr, plot_usr: bool):
+    """Epoch-boundary visual snapshot (reference save_curr_vis,
+    utils.py:50-62): G on the first 4 test LR images (+ the 4 HR images as
+    'UR' when small enough)."""
+    out = [np.asarray(infer_fn(ts["params_g"], ts["state_g"],
+                               jnp.asarray(test_lr[:4])))]
+    if plot_usr:
+        out.append(np.asarray(infer_fn(ts["params_g"], ts["state_g"],
+                                       jnp.asarray(test_hr[:4]))))
+    return tuple(out)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    ts: Any
+    losses: Dict[str, List[float]]
+    img_list: List[Tuple[np.ndarray, ...]]
+    write_path: Optional[str]
+    metrics: Dict[str, float]
+    test_batch: Tuple[np.ndarray, np.ndarray]
+
+
+def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
+          mesh=None, save: bool = True, plot_first: bool = True,
+          synthetic_len: int = 512, verbose: bool = True) -> TrainResult:
+    """Full training run. `checkpoint` is a loaded payload dict (or None)."""
+    checkpoint = checkpoint or {}
+    seed = resolve_seed(cfg.seed)
+    key = jax.random.PRNGKey(seed)
+    key, k_state, k_vgg = jax.random.split(key, 3)
+
+    gen_cfg = effective_generator_cfg(cfg)
+    hr_s, lr_s = cfg.geometry()
+    starting_epoch = int(checkpoint.get("epoch", 0))
+
+    loader, (test_hr, test_lr), n_batch = build_data(cfg, synthetic_len)
+    total_steps = n_batch * cfg.num_epochs
+
+    ts, mask_g, _ = assemble_state(k_state, cfg, checkpoint, verbose=verbose)
+
+    # content extractor: MaskedVGG for RGB, identity for 1-channel data
+    # (reference config.py:100-104); vgg weights from cfg.vgg_weights (npz)
+    # or fixed-seed random fallback
+    vgg_params = None
+    if hr_s[0] == 3:
+        src = cfg.vgg_weights if cfg.vgg_weights else k_vgg
+        if not cfg.vgg_weights and verbose:
+            print("[vgg] no pretrained weights configured — fixed random "
+                  "extractor (see tools/port_vgg_weights.py)")
+        vgg_params = vgg_init(src, VGGConfig(cfg.vgg_mask))
+
+    get_step = epoch_step_builder(cfg, total_steps, vgg_params=vgg_params,
+                                  mask_g=mask_g, jit=mesh is None, mesh=mesh)
+
+    # replay: restore only when the generated-image scale matches
+    # (reference config.py:323-331)
+    buf = ReplayBuffer(cfg.replay, (cfg.batch_size, hr_s[1], hr_s[2], hr_s[0]),
+                       seed=seed)
+    scale_ok = checkpoint.get("scale_factor") == cfg.scale_factor
+    n_restored = buf.load_state_dict(checkpoint.get("dis_list"), scale_ok)
+    if verbose and checkpoint:
+        print(f"replay: restored {n_restored} old generated batches")
+
+    infer_fn = make_infer_fn(cfg, gen_cfg)
+    plot_usr = cfg.scale_factor * hr_s[1] < 1024  # reference config.py:346
+    losses: Dict[str, List[float]] = {"D": [], "G": [], "cont": []}
+    img_list: List[Tuple[np.ndarray, ...]] = []
+    print_period = max(1, n_batch // 10)
+
+    t0 = time.time()
+    it_global = 0
+    p = s = float("nan")
+    for epoch in range(starting_epoch, starting_epoch + cfg.num_epochs):
+        step_fn, weights = get_step(epoch)
+        for i, (hr, hr_d) in enumerate(loader):
+            if i == n_batch - 1 or (plot_first and epoch == starting_epoch
+                                    and i == 0):
+                img_list.append(snapshot(infer_fn, ts, test_lr, test_hr,
+                                         plot_usr))
+                if i == n_batch - 1:
+                    break  # reference skips training the snapshot batch
+
+            stack, mask = buf.sample()
+            ts, fake, m = step_fn(ts, jnp.asarray(hr), jnp.asarray(hr_d),
+                                  jnp.asarray(stack), jnp.asarray(mask),
+                                  weights)
+            buf.maybe_store(it_global, np.asarray(fake))
+            it_global += 1
+
+            if i % print_period == 0 and verbose:
+                print("[%d/%d][%d/%d]\tLoss_D: %.4f\tLoss_G_adv: %.4f\t"
+                      "Loss_G_con: %.4f\tD(x): %.4f\tD(G(z)): %.4f / %.4f"
+                      % (epoch, cfg.num_epochs + starting_epoch, i, n_batch,
+                         float(m["errD"]), float(m["errG_adv"]),
+                         float(m["errG_cont"]), float(m["D_x"]),
+                         float(m["D_G_z1"]), float(m["D_G_z2"])))
+            losses["G"].append(float(m["errG_adv"]))
+            losses["D"].append(float(m["errD"]))
+            losses["cont"].append(float(m["errG_cont"]))
+
+        # epoch-end quality metrics (not in reference; README.md:88 TODO)
+        sr_test = infer_fn(ts["params_g"], ts["state_g"], jnp.asarray(test_lr))
+        p = float(psnr(sr_test, jnp.asarray(test_hr)))
+        s = float(ssim(sr_test, jnp.asarray(test_hr)))
+        if verbose:
+            print(f"[epoch {epoch}] test PSNR {p:.2f} dB  SSIM {s:.4f}")
+
+    if verbose:
+        print("train loop in", time.time() - t0)
+
+    write_path = None
+    if save:
+        payload = pack_train_state(
+            ts, epoch=starting_epoch + cfg.num_epochs,
+            scale_factor=cfg.scale_factor,
+            replay_stack=buf.state_dict() if cfg.replay.persist else None)
+        write_path = save_checkpoint(cfg.write_root, payload)
+        if verbose:
+            print("network saved to", write_path)
+
+    metrics = {"psnr": p, "ssim": s}
+    return TrainResult(ts=ts, losses=losses, img_list=img_list,
+                       write_path=write_path, metrics=metrics,
+                       test_batch=(test_hr, test_lr))

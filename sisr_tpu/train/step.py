@@ -202,11 +202,12 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
 
 
 def epoch_step_builder(cfg: TrainConfig, total_steps: int, vgg_params=None,
-                       mask_g=None, jit: bool = True):
+                       mask_g=None, jit: bool = True, mesh=None):
     """Cache of compiled step variants keyed by the epoch's active losses.
 
     Host-side analog of the reference's per-epoch `if lw_*` gating
     (train.py:55-105): call `get(epoch)` to obtain (step_fn, weights).
+    With a mesh, each variant is wrapped data-parallel instead of plain jit.
     """
     cache: Dict[Tuple[bool, bool, Optional[str]], Any] = {}
 
@@ -215,10 +216,14 @@ def epoch_step_builder(cfg: TrainConfig, total_steps: int, vgg_params=None,
             epoch, cfg.content_loss_on_lr)
         key = (w_adv_d > 0, w_adv_g > 0, cont_kind)
         if key not in cache:
-            cache[key] = make_train_step(
+            fn = make_train_step(
                 cfg, total_steps, d_active=key[0], g_adv_active=key[1],
                 cont_kind=cont_kind, vgg_params=vgg_params, mask_g=mask_g,
-                jit=jit)
+                jit=jit and mesh is None)
+            if mesh is not None:
+                from sisr_tpu.parallel.mesh import shard_train_step
+                fn = shard_train_step(fn, mesh)
+            cache[key] = fn
         weights = (jnp.asarray(w_adv_g, jnp.float32),
                    jnp.asarray(w_adv_d, jnp.float32),
                    jnp.asarray(w_cont, jnp.float32))

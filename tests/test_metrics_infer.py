@@ -1,0 +1,86 @@
+"""PSNR/SSIM correctness + tiled-inference equivalence + viz smoke."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sisr_tpu.config import GeneratorConfig
+from sisr_tpu.infer import make_sr_fn, tiled_sr
+from sisr_tpu.metrics import psnr, ssim
+from sisr_tpu.models.generator import generator_init
+from sisr_tpu.viz import make_grid, save_comparison_figure, save_loss_curves
+
+
+def test_psnr_basics(rng):
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32))
+    assert float(psnr(a, a)) > 100  # identical
+    b = jnp.clip(a + 0.2, -1, 1)
+    v = float(psnr(a, b))
+    assert 10 < v < 25
+    # known value: constant MSE in [0,1] space
+    x = jnp.zeros((1, 8, 8, 1))
+    y = jnp.full((1, 8, 8, 1), -0.2)  # unit-space diff 0.1 -> mse 0.01
+    np.testing.assert_allclose(float(psnr(x, y)), 20.0, atol=1e-3)
+
+
+def test_ssim_basics(rng):
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    assert float(ssim(a, a)) > 0.999
+    noise = jnp.asarray(rng.normal(0, 0.5, a.shape).astype(np.float32))
+    assert float(ssim(a, jnp.clip(a + noise, -1, 1))) < 0.85
+
+
+def test_ssim_matches_torch_impl(rng):
+    """Cross-check against an independent torch implementation of the same
+    standard formula."""
+    import torch
+    import torch.nn.functional as F
+
+    a = rng.uniform(-1, 1, (1, 24, 24, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), -1, 1).astype(np.float32)
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+
+    g = np.exp(-0.5 * ((np.arange(11) - 5) / 1.5) ** 2)
+    g /= g.sum()
+    win = torch.tensor(np.outer(g, g), dtype=torch.float32)[None, None].repeat(3, 1, 1, 1)
+    ta = (torch.from_numpy(a).permute(0, 3, 1, 2) + 1) / 2
+    tb = (torch.from_numpy(b).permute(0, 3, 1, 2) + 1) / 2
+    mu_a = F.conv2d(ta, win, groups=3)
+    mu_b = F.conv2d(tb, win, groups=3)
+    sa = F.conv2d(ta * ta, win, groups=3) - mu_a ** 2
+    sb = F.conv2d(tb * tb, win, groups=3) - mu_b ** 2
+    sab = F.conv2d(ta * tb, win, groups=3) - mu_a * mu_b
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * sab + c2)) / (
+        (mu_a ** 2 + mu_b ** 2 + c1) * (sa + sb + c2))
+    np.testing.assert_allclose(ours, float(s.mean()), rtol=1e-4)
+
+
+def test_tiled_sr_matches_direct(rng):
+    """Halo-tiled SR must match full-image SR away from nothing — the halo
+    covers the receptive field, so everywhere (loose fp tolerance)."""
+    gen_cfg = GeneratorConfig(n_blocks=2, n_features_block=8,
+                              n_features_last=16)
+    params, state = generator_init(jax.random.PRNGKey(0), gen_cfg)
+    img = rng.uniform(-1, 1, (48, 40, 3)).astype(np.float32)
+
+    fwd = make_sr_fn(gen_cfg, batch_stats=False)
+    direct = np.asarray(fwd(params, state, jnp.asarray(img[None])))[0]
+    tiled = tiled_sr(params, state, img, gen_cfg, tile=32, tile_batch=4)
+    assert tiled.shape == direct.shape == (96, 80, 3)
+    # valid-region tiling with margin >= receptive field is exact up to fp
+    np.testing.assert_allclose(tiled, direct, atol=1e-5)
+
+
+def test_make_grid_and_figures(tmp_path, rng):
+    imgs = rng.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32)
+    grid = make_grid(imgs, nrow=2)
+    assert grid.shape == (16, 16, 3)
+    assert grid.min() >= 0 and grid.max() <= 1
+
+    out = save_loss_curves({"G": [1, 2], "D": [2, 1], "cont": [3]},
+                           str(tmp_path / "run"))
+    assert out and out.endswith(".png")
+    out = save_comparison_figure([("LR", imgs[0]), ("SR", imgs[1])],
+                                 str(tmp_path / "cmp"))
+    assert out and out.endswith(".png")
