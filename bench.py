@@ -1,0 +1,120 @@
+"""Benchmark harness: CelebA x4 megapixels/sec/chip, train + infer.
+
+Prints ONE JSON line:
+  {"metric": "celeba_x4_train_mps_per_chip", "value": N,
+   "unit": "megapixels/sec", "vs_baseline": N, ...extras}
+
+The reference publishes no throughput numbers (BASELINE.md) and no GPU is
+available here, so `vs_baseline` is measured against a documented analytic
+estimate of the reference's A100 training throughput:
+
+  reference train step (batch 16, HR 128^2, fp32/TF32 torch defaults)
+  ~= 1.0 TFLOP (G fwd+bwd ~0.15, D multi-forward+bwd ~0.4, 2x VGG19[:pool4]
+  fwd + bwd ~0.45); A100 sustained TF32 conv throughput ~30 TFLOP/s
+  => ~30 steps/s * 16 * 0.0164 MP = ~8 MP/s.
+
+REF_A100_TRAIN_MPS = 8.0. The >5x north-star target (BASELINE.json) is
+therefore vs_baseline >= 5.0.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+REF_A100_TRAIN_MPS = 8.0
+REF_A100_INFER_MPS = 180.0  # G fwd only, ~0.05 TFLOP/batch at ~30 TF/s
+
+
+def _time_fn(fn, *args, warmup=3, iters=20):
+    import jax
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sisr_tpu.config import preset_x2_gan, GeneratorConfig
+    import dataclasses
+    from sisr_tpu.models.vgg import VGGConfig, vgg_init
+    from sisr_tpu.train import init_train_state, make_train_step
+    from sisr_tpu.infer import make_sr_fn
+
+    # canonical workload: celeba x4 (LR 32 -> HR 128), batch 16
+    cfg = preset_x2_gan("celeba")
+    cfg = dataclasses.replace(
+        cfg, generator=dataclasses.replace(cfg.generator, n_suffixes=1))
+    assert cfg.scale_factor == 4
+    hr_s, lr_s = cfg.geometry()
+    batch = cfg.batch_size
+    mp_per_batch = batch * hr_s[1] * hr_s[2] / 1e6
+
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.uniform(-1, 1, (batch, hr_s[1], hr_s[2], hr_s[0]))
+                     .astype(np.float32))
+    lr = jnp.asarray(rng.uniform(-1, 1, (batch, lr_s[1], lr_s[2], lr_s[0]))
+                     .astype(np.float32))
+
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    vgg_params = vgg_init(jax.random.PRNGKey(1), VGGConfig(cfg.vgg_mask))
+    step = make_train_step(cfg, total_steps=1000, d_active=True,
+                           g_adv_active=True, cont_kind="vgg",
+                           vgg_params=vgg_params, jit=True)
+    R = cfg.replay.max_samples
+    replay = jnp.zeros((R, batch, hr_s[1], hr_s[2], hr_s[0]), jnp.float32)
+    rmask = jnp.concatenate([jnp.ones((R // 2,)), jnp.zeros((R - R // 2,))])
+    w = (jnp.float32(5e-2), jnp.float32(1.0), jnp.float32(1.0))
+
+    def train_call(ts):
+        new_ts, fake, m = step(ts, hr, hr, replay, rmask, w)
+        return new_ts, fake
+
+    # train timing (state threads through; half the replay slots live)
+    for _ in range(3):
+        ts, _ = train_call(ts)
+    jax.block_until_ready(ts)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, fake = train_call(ts)
+    jax.block_until_ready(ts)
+    train_dt = (time.perf_counter() - t0) / iters
+    train_mps = mp_per_batch / train_dt
+
+    # inference timing (eval-mode jitted SR)
+    infer = make_sr_fn(cfg.generator, compute_dtype=jnp.bfloat16,
+                       batch_stats=False)
+    infer_dt = _time_fn(lambda x: infer(ts["params_g"], ts["state_g"], x), lr)
+    infer_mps = mp_per_batch / infer_dt
+
+    result = {
+        "metric": "celeba_x4_train_mps_per_chip",
+        "value": round(train_mps, 3),
+        "unit": "megapixels/sec",
+        "vs_baseline": round(train_mps / REF_A100_TRAIN_MPS, 3),
+        "extras": {
+            "train_ms_per_step": round(train_dt * 1e3, 3),
+            "infer_mps": round(infer_mps, 3),
+            "infer_ms_per_batch": round(infer_dt * 1e3, 3),
+            "infer_vs_baseline": round(infer_mps / REF_A100_INFER_MPS, 3),
+            "batch": batch,
+            "hr": hr_s,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
