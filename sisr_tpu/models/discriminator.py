@@ -74,15 +74,17 @@ def discriminator_apply(params, state, x, *, train: bool, cfg: DiscriminatorConf
     kernel, s = sn_normalize(params["stem"]["conv"]["kernel"],
                              state["stem"]["conv"], train=sn_train)
     ns["stem"]["conv"] = s
+    # explicit padding=1: XLA 'SAME' pads (0,1) for stride-2 convs, torch's
+    # padding=1 pads (1,1) — tap alignment must match the reference
     x = conv2d_apply(params["stem"]["conv"], x, stride=cfg.list_stride[0],
-                     compute_dtype=cd, kernel_override=kernel)
+                     padding=1, compute_dtype=cd, kernel_override=kernel)
     x = leaky_relu(x)
 
     for i, (bp, bs) in enumerate(zip(params["blocks"], state["blocks"])):
         stride = cfg.list_stride[i + 1]
         kernel, s = sn_normalize(bp["conv"]["kernel"], bs["conv"], train=sn_train)
-        y = conv2d_apply(bp["conv"], x, stride=stride, compute_dtype=cd,
-                         kernel_override=kernel)
+        y = conv2d_apply(bp["conv"], x, stride=stride, padding=1,
+                         compute_dtype=cd, kernel_override=kernel)
         y, bns = batchnorm_apply(bp["bn"], bs["bn"], y, train=train, axis_name=bn_axis)
         x = leaky_relu(y)
         ns["blocks"].append({"conv": s, "bn": bns})
