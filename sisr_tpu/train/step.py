@@ -101,9 +101,18 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
         lr_t = sched(ts["step"])
         img_lr = lr_from_hr(hr, lr_hw)
 
-        # G forward in train mode: produces the fake batch and (if no G loss
-        # is active this epoch) the G state advance (reference train.py:53).
-        fake, state_g_fwd = g_apply(ts["params_g"], ts["state_g"], img_lr, train=True)
+        # ONE G forward per step, exactly like the reference (train.py:53
+        # computes `fake` once and reuses the same tensor for the D update
+        # and the G backward): jax.vjp keeps the residuals so the G gradient
+        # can be pulled back later through d(loss)/d(fake).
+        g_needs_grad = g_adv_active or cont_kind is not None
+        if g_needs_grad:
+            fake, g_vjp, state_g_fwd = jax.vjp(
+                lambda p: g_apply(p, ts["state_g"], img_lr, train=True),
+                ts["params_g"], has_aux=True)
+        else:
+            fake, state_g_fwd = g_apply(ts["params_g"], ts["state_g"],
+                                        img_lr, train=True)
         fake = lax.stop_gradient(fake)
         state_g_fwd = lax.stop_gradient(state_g_fwd)
 
@@ -123,23 +132,48 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
                 loss = loss + bce_with_logits(d_fake, 0.0)
                 dgz1 = jnp.mean(jax.nn.sigmoid(d_fake))
 
-                def scan_body(carry, xs):
-                    st, loss, dgz = carry
-                    fb, live = xs
+                if replay.shape[0] > 0:
+                    # Replay slots as ONE vmapped batched forward (a
+                    # cond-in-scan formulation costs ~30 ms/step on TPU even
+                    # with every slot dead — conditionals pessimize badly
+                    # under AD). Semantics preserved exactly:
+                    # - BN normalization in train mode uses per-slot batch
+                    #   stats, which don't depend on running stats — so
+                    #   vmapping from the same input state gives bit-equal
+                    #   losses to the reference's sequential forwards;
+                    # - each live slot adds a full (summed) BCE term
+                    #   (reference train.py:151-166);
+                    # - running stats are re-chained in slot order below in
+                    #   closed form; dead slots are masked out of both.
+                    replay_sg = lax.stop_gradient(replay)
+                    d_rep, st_rep = jax.vmap(
+                        lambda fb: d_apply(params_d, st, fb, train=True,
+                                           sn_train=False))(replay_sg)
+                    per_slot_bce = jax.vmap(
+                        lambda l: bce_with_logits(l, 0.0))(d_rep)
+                    loss = loss + jnp.sum(per_slot_bce * replay_mask)
+                    dgz1 = dgz1 + jnp.sum(
+                        jnp.mean(jax.nn.sigmoid(d_rep), axis=1) * replay_mask)
 
-                    def live_fn(op):
-                        st, loss, dgz = op
-                        d_o, st2 = d_apply(params_d, st, fb, train=True,
-                                           sn_train=False)
-                        return (st2, loss + bce_with_logits(d_o, 0.0),
-                                dgz + jnp.mean(jax.nn.sigmoid(d_o)))
+                    # closed-form sequential chaining of state updates:
+                    # new_i = (1-m)*old + m*stat_i  (from the shared old
+                    # state under vmap)  =>  run' = (1-m)*run + new_i -
+                    # (1-m)*old. The rule is a no-op for leaves the forward
+                    # left unchanged (SN u/v), so it applies uniformly.
+                    m_bn = 0.1  # BatchNorm momentum (torch default)
 
-                    carry = lax.cond(live > 0, live_fn, lambda op: op,
-                                     (st, loss, dgz))
-                    return carry, None
+                    def chain(run_leaf, new_leaves, old_leaf):
+                        def body(run, i):
+                            upd = ((1 - m_bn) * run + new_leaves[i]
+                                   - (1 - m_bn) * old_leaf)
+                            return jnp.where(replay_mask[i] > 0, upd, run), None
+                        out, _ = lax.scan(body, run_leaf,
+                                          jnp.arange(replay.shape[0]))
+                        return out
 
-                (st, loss, dgz1), _ = lax.scan(
-                    scan_body, (st, loss, dgz1), (replay, replay_mask))
+                    st = jax.tree_util.tree_map(
+                        lambda old_l, new_l: chain(old_l, new_l, old_l),
+                        st, st_rep)
                 # summed (not averaged) over fakes, then scaled
                 # (reference train.py:76 `errD *= lw_adv_d`)
                 loss = loss * w_adv_d
@@ -155,9 +189,10 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
             state_d_new = ts["state_d"]
 
         # ------------------------------------------------------ G update
-        if g_adv_active or cont_kind is not None:
-            def g_loss_fn(params_g):
-                fake2, st_g = g_apply(params_g, ts["state_g"], img_lr, train=True)
+        if g_needs_grad:
+            # loss as a function of the fake IMAGE; the G param gradient is
+            # then one pullback through the saved G residuals (g_vjp).
+            def fake_loss_fn(fake_img):
                 st_d = state_d_new
                 loss = jnp.zeros((), jnp.float32)
                 err_adv = jnp.zeros((), jnp.float32)
@@ -165,23 +200,26 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
                 if g_adv_active:
                     # D sees the freshly-updated params (reference updates D
                     # first, then computes G's adv loss, train.py:87)
-                    d_out, st_d = d_apply(params_d_new, st_d, fake2, train=True)
+                    d_out, st_d = d_apply(params_d_new, st_d, fake_img, train=True)
                     err_adv = w_adv_g * bce_with_logits(d_out, 1.0)
                     dgz2 = jnp.mean(jax.nn.sigmoid(d_out))
                     loss = loss + err_adv
                 err_cont = jnp.zeros((), jnp.float32)
                 if cont_kind is not None:
                     if unsup:
-                        fake_lr = lr_from_hr(fake2, lr_hw)
+                        fake_lr = lr_from_hr(fake_img, lr_hw)
                         err_cont = w_cont * content_loss(extract(img_lr),
                                                          extract(fake_lr))
                     else:
-                        err_cont = w_cont * content_loss(extract(hr), extract(fake2))
+                        err_cont = w_cont * content_loss(extract(hr),
+                                                         extract(fake_img))
                     loss = loss + err_cont
-                return loss, (st_g, st_d, err_adv, err_cont, dgz2)
+                return loss, (st_d, err_adv, err_cont, dgz2)
 
-            (_, (state_g_new, state_d_new, err_adv, err_cont, dgz2)), grads_g = \
-                jax.value_and_grad(g_loss_fn, has_aux=True)(ts["params_g"])
+            (_, (state_d_new, err_adv, err_cont, dgz2)), d_fake_img = \
+                jax.value_and_grad(fake_loss_fn, has_aux=True)(fake)
+            (grads_g,) = g_vjp(d_fake_img)
+            state_g_new = state_g_fwd
             params_g_new, opt_g_new = adam_update(
                 adam, ts["opt_g"], grads_g, ts["params_g"], lr_t, mask=mask_g)
             metrics.update(errG_adv=err_adv, errG_cont=err_cont, D_G_z2=dgz2)
