@@ -6,23 +6,27 @@ Prints ONE JSON line:
 
 The reference publishes no throughput numbers (BASELINE.md) and no GPU is
 available here, so `vs_baseline` is measured against a documented analytic
-estimate of the reference's A100 training throughput:
+estimate of the reference's A100 throughput on the SAME workload:
 
-  reference train step (batch 16, HR 128^2, fp32/TF32 torch defaults)
-  ~= 1.0 TFLOP (G fwd+bwd ~0.15, D multi-forward+bwd ~0.4, 2x VGG19[:pool4]
-  fwd + bwd ~0.45); A100 sustained TF32 conv throughput ~30 TFLOP/s
-  => ~30 steps/s * 16 * 0.0164 MP = ~8 MP/s.
+  reference steady-state train step (batch 16, HR 128^2, replay buffer full
+  => 10 extra D forwards/step, two VGG19[:pool4] forwards + backward):
+  G fwd+bwd ~0.17 TF, D real+fake+G-adv fwd+bwd ~0.5 TF, replay 10x D
+  fwd + param-bwd ~1.5 TF, VGG ~0.6 TF  => ~2.8 TFLOP/step.
+  A100 sustained conv throughput for fp32-params torch with TF32 matmuls
+  ~= 30 TFLOP/s (generous)  =>  ~10.7 steps/s * 16 * 0.0164 MP
+  => ~2.8 MP/s. We round UP to 3.0 (conservative against this repo).
 
-REF_A100_TRAIN_MPS = 8.0. The >5x north-star target (BASELINE.json) is
-therefore vs_baseline >= 5.0.
+REF_A100_TRAIN_MPS = 3.0. The >5x north-star target (BASELINE.json) is
+therefore vs_baseline >= 5.0. Inference: G fwd 55 GFLOP/batch at ~30 TF/s
+=> ~1.8 ms/batch => ~140 MP/s.
 """
 from __future__ import annotations
 
 import json
 import time
 
-REF_A100_TRAIN_MPS = 8.0
-REF_A100_INFER_MPS = 180.0  # G fwd only, ~0.05 TFLOP/batch at ~30 TF/s
+REF_A100_TRAIN_MPS = 3.0
+REF_A100_INFER_MPS = 140.0
 
 
 def _time_fn(fn, *args, warmup=3, iters=20):
@@ -71,29 +75,44 @@ def main():
                            vgg_params=vgg_params, jit=True)
     R = cfg.replay.max_samples
     replay = jnp.zeros((R, batch, hr_s[1], hr_s[2], hr_s[0]), jnp.float32)
-    rmask = jnp.concatenate([jnp.ones((R // 2,)), jnp.zeros((R - R // 2,))])
+    rmask = jnp.ones((R,))  # steady state: replay buffer full, 10 live slots
     w = (jnp.float32(5e-2), jnp.float32(1.0), jnp.float32(1.0))
 
-    def train_call(ts):
-        new_ts, fake, m = step(ts, hr, hr, replay, rmask, w)
-        return new_ts, fake
-
-    # train timing (state threads through; half the replay slots live)
-    for _ in range(3):
-        ts, _ = train_call(ts)
-    jax.block_until_ready(ts)
-    iters = 20
+    # train timing: state chains through the loop; the final float() is a
+    # device_get that forces completion of the whole chain (plain
+    # block_until_ready can return early through the remote relay).
+    m = None
+    for _ in range(5):
+        ts, fake, m = step(ts, hr, hr, replay, rmask, w)
+    _ = float(m["errD"])
+    iters = 40
     t0 = time.perf_counter()
     for _ in range(iters):
-        ts, fake = train_call(ts)
-    jax.block_until_ready(ts)
+        ts, fake, m = step(ts, hr, hr, replay, rmask, w)
+    _ = float(m["errD"])
     train_dt = (time.perf_counter() - t0) / iters
     train_mps = mp_per_batch / train_dt
 
-    # inference timing (eval-mode jitted SR)
+    # inference timing: chained device-resident loop (output feeds a no-op
+    # perturbation of the input so calls can't be deduplicated), one sync.
     infer = make_sr_fn(cfg.generator, compute_dtype=jnp.bfloat16,
                        batch_stats=False)
-    infer_dt = _time_fn(lambda x: infer(ts["params_g"], ts["state_g"], x), lr)
+
+    @jax.jit
+    def infer_chained(x, params, state):
+        y = infer(params, state, x)
+        return x + (jnp.mean(y) * 0).astype(x.dtype)
+
+    x = lr
+    for _ in range(5):
+        x = infer_chained(x, ts["params_g"], ts["state_g"])
+    _ = float(jnp.sum(x))
+    iters_i = 100
+    t0 = time.perf_counter()
+    for _ in range(iters_i):
+        x = infer_chained(x, ts["params_g"], ts["state_g"])
+    _ = float(jnp.sum(x))
+    infer_dt = (time.perf_counter() - t0) / iters_i
     infer_mps = mp_per_batch / infer_dt
 
     result = {

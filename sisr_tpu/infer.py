@@ -31,6 +31,81 @@ from sisr_tpu.config import GeneratorConfig
 from sisr_tpu.models.generator import generator_apply
 
 
+def fold_generator(params, state, gen_cfg: GeneratorConfig):
+    """Deploy-mode constant folding for eval inference.
+
+    In eval mode both normalizations are affine constants, so they fold
+    into the conv weights:
+    - spectral norm: W' = W / sigma(u, v)           (stored vectors)
+    - BatchNorm:     W'' = W' * gamma/sqrt(var+eps) (per out-channel),
+                     b'' = (b - mean) * gamma/sqrt(var+eps) + beta
+    Returns (folded_params, folded_state) with BN set to exact identity and
+    SN state removed — the same generator_apply runs them with zero
+    normalization work. Only valid for eval (running-stats) inference.
+    """
+    import numpy as np
+    from sisr_tpu.nn.spectral_norm import sn_normalize
+
+    eps = 1e-5
+
+    def fold_conv(conv_p, conv_s):
+        if conv_s:  # spectral norm
+            kernel, _ = sn_normalize(conv_p["kernel"], conv_s, train=False)
+        else:
+            kernel = conv_p["kernel"]
+        return {"kernel": kernel, "bias": conv_p["bias"]}, {}
+
+    def fold_conv_bn(conv_p, conv_s, bn_p, bn_s):
+        p, _ = fold_conv(conv_p, conv_s)
+        scale = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
+        kernel = p["kernel"] * scale[None, None, None, :]
+        bias = (p["bias"] - bn_s["mean"]) * scale + bn_p["bias"]
+        ident_p = {"scale": jnp.ones_like(bn_p["scale"]),
+                   "bias": jnp.zeros_like(bn_p["bias"])}
+        ident_s = {"mean": jnp.zeros_like(bn_s["mean"]),
+                   "var": jnp.full_like(bn_s["var"], 1.0 - eps)}
+        return {"kernel": kernel, "bias": bias}, {}, ident_p, ident_s
+
+    def fold_level(p, s):
+        if "base" in p:
+            bp, bs = fold_level(p["base"], s["base"])
+            up, us = fold_conv(p["upscale"]["conv"], s["upscale"]["conv"])
+            return ({"base": bp, "upscale": {"conv": up,
+                                             "prelu": p["upscale"]["prelu"]}},
+                    {"base": bs, "upscale": {"conv": us}})
+        np_, ns_ = {}, {}
+        cp, cs = fold_conv(p["first_layers"]["conv"], s["first_layers"]["conv"])
+        np_["first_layers"] = {"conv": cp, "prelu": p["first_layers"]["prelu"]}
+        ns_["first_layers"] = {"conv": cs}
+        np_["blocks"], ns_["blocks"] = [], []
+        for bp, bs in zip(p["blocks"], s["blocks"]):
+            c1, s1, ip1, is1 = fold_conv_bn(bp["conv1"], bs["conv1"],
+                                            bp["bn1"], bs["bn1"])
+            c2, s2, ip2, is2 = fold_conv_bn(bp["conv2"], bs["conv2"],
+                                            bp["bn2"], bs["bn2"])
+            np_["blocks"].append({"conv1": c1, "bn1": ip1, "prelu": bp["prelu"],
+                                  "conv2": c2, "bn2": ip2})
+            ns_["blocks"].append({"conv1": s1, "bn1": is1,
+                                  "conv2": s2, "bn2": is2})
+        ce, se, ipe, ise = fold_conv_bn(p["block_end"]["conv"],
+                                        s["block_end"]["conv"],
+                                        p["block_end"]["bn"],
+                                        s["block_end"]["bn"])
+        np_["block_end"] = {"conv": ce, "bn": ipe}
+        ns_["block_end"] = {"conv": se, "bn": ise}
+        np_["upscale"], ns_["upscale"] = [], []
+        for up, us in zip(p["upscale"], s["upscale"]):
+            cu, su = fold_conv(up["conv"], us["conv"])
+            np_["upscale"].append({"conv": cu, "prelu": up["prelu"]})
+            ns_["upscale"].append({"conv": su})
+        cend, send = fold_conv(p["end"]["conv"], s["end"]["conv"])
+        np_["end"] = {"conv": cend}
+        ns_["end"] = {"conv": send}
+        return np_, ns_
+
+    return fold_level(params, state)
+
+
 def make_sr_fn(gen_cfg: GeneratorConfig, *, compute_dtype=None,
                batch_stats: bool = True):
     """Jitted fixed-shape SR forward. `batch_stats=True` matches the

@@ -84,3 +84,21 @@ def test_make_grid_and_figures(tmp_path, rng):
     out = save_comparison_figure([("LR", imgs[0]), ("SR", imgs[1])],
                                  str(tmp_path / "cmp"))
     assert out and out.endswith(".png")
+
+
+def test_fold_generator_matches_eval(rng):
+    """Deploy-mode folding (SN sigma + BN constants into conv weights) must
+    reproduce eval-mode inference exactly."""
+    from sisr_tpu.infer import fold_generator
+
+    gen_cfg = GeneratorConfig(n_blocks=2, n_features_block=8,
+                              n_features_last=16, use_sn=True, n_suffixes=1)
+    params, state = generator_init(jax.random.PRNGKey(0), gen_cfg)
+    fp, fs = fold_generator(params, state, gen_cfg)
+
+    from sisr_tpu.models.generator import generator_apply
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32))
+    y_ref, _ = generator_apply(params, state, x, train=False, cfg=gen_cfg)
+    y_fold, _ = generator_apply(fp, fs, x, train=False, cfg=gen_cfg)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
