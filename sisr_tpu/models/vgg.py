@@ -130,6 +130,18 @@ def vgg_apply(params, x, cfg: VGGConfig, *, compute_dtype=None, flatten: bool = 
     return jnp.concatenate([s.astype(jnp.float32).reshape(b, -1) for s in saved], axis=1)
 
 
+def identity_extract(x):
+    """Plain pixel features => MSE content loss (reference
+    model_content_extractor.py:12-14 `identity`)."""
+    return jnp.asarray(x, jnp.float32).reshape(x.shape[0], -1)
+
+
+#: The reference's unused alternative extractor `vgg_4conv_1maxPool`
+#: (model_content_extractor.py:16-31): the feature map before the second
+#: maxpool == the single pre-pool-2 tap.
+VGG_4CONV_1MAXPOOL = VGGConfig(mask=0b00010)
+
+
 def vgg_feature_size(hw: Tuple[int, int], mask: int) -> int:
     """Analytic output width (reference get_size,
     model_content_extractor.py:63-73)."""

@@ -26,6 +26,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: after this, jax.devices() spans every host and
+    the same make_mesh()/shard_train_step() code scales over DCN. On cloud
+    TPU pods the arguments auto-detect; return the global device count."""
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process: nothing to do
+    return len(jax.devices())
+
+
 def make_mesh(n_devices: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """1-D data mesh over (the first n of) all visible devices."""

@@ -117,9 +117,13 @@ def save_animation(img_list: Sequence[Tuple[np.ndarray, ...]],
                for frame in img_list]
         ani = animation.ArtistAnimation(fig, ims, interval=1000,
                                         repeat_delay=1000, blit=True)
-        out = path + ".mp4"
-        writer = animation.writers["ffmpeg"](fps=10, bitrate=1800)
-        ani.save(out, writer=writer)
+        if "ffmpeg" in animation.writers.list():
+            out = path + ".mp4"
+            ani.save(out, writer=animation.writers["ffmpeg"](fps=10,
+                                                             bitrate=1800))
+        else:  # PillowWriter gif when ffmpeg is absent
+            out = path + ".gif"
+            ani.save(out, writer=animation.PillowWriter(fps=10))
         plt.close(fig)
         return out
     except Exception as e:
