@@ -213,6 +213,13 @@ class TrainConfig:
     # feature extractor (documented fallback, models/vgg.py)
     vgg_weights: Optional[str] = None
 
+    # discriminator ladder (reference Discriminator args,
+    # model_discriminator.py:19-24; SRGAN defaults from config.py:81-82).
+    # Datasets whose HR size doesn't divide by the total stride (e.g. mnist
+    # 28x28) need a shorter ladder — the reference asserts identically.
+    d_features: Tuple[int, ...] = (64, 64, 128, 128, 256, 256, 512, 512)
+    d_strides: Tuple[int, ...] = (1, 2, 1, 2, 1, 2, 1, 2)
+
     # TPU-specific (no reference analog)
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; state stays fp32
     bn_cross_replica: bool = True    # sync BN stats across the data mesh axis
@@ -236,7 +243,9 @@ class TrainConfig:
 
     def discriminator(self) -> DiscriminatorConfig:
         hr, _ = self.geometry()
-        return DiscriminatorConfig(input_shape=hr)
+        return DiscriminatorConfig(input_shape=hr,
+                                   list_n_features=self.d_features,
+                                   list_stride=self.d_strides)
 
 
 # ---------------------------------------------------------------------------

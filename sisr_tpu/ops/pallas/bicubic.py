@@ -2,12 +2,15 @@
 
 The LR-synthesis preprocessing path (reference utils.py:16-31) as one
 VMEM-resident kernel: both separable tap contractions run on the MXU and
-the clamp is applied before the single store — the (oh, W, C) intermediate
+the clamp is applied before the single store — the (oh, W) intermediate
 never touches HBM (SURVEY.md §7 'Pallas kernel #1'). Tap matrices are the
 same torch-parity weights as ops/resize.py.
 
-One grid step per batch element; fp32 throughout (the LR distribution is a
-training-semantics contract).
+Mosaic layout note: image channels are folded into the grid (one program
+per (batch, channel) plane) so every in-kernel operand is a clean 2D
+(sublane, lane) matrix — merging W with a 3-wide channel axis is an
+unsupported shape cast. The NHWC<->planar transposes happen outside the
+kernel in XLA.
 """
 from __future__ import annotations
 
@@ -22,15 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 from sisr_tpu.ops.resize import bicubic_weight_matrix
 
 
-def _kernel(x_ref, ah_ref, aw_ref, o_ref, *, H, W, C, oh, ow):
-    x = x_ref[0].astype(jnp.float32).reshape(H, W * C)
-    # rows: (oh, H) @ (H, W*C) -> (oh, W*C)
+def _kernel(x_ref, ah_ref, awt_ref, o_ref):
+    x = x_ref[0].astype(jnp.float32)
+    # rows: (oh, H) @ (H, W) -> (oh, W); cols: (oh, W) @ (W, ow) -> (oh, ow)
     y = jnp.dot(ah_ref[...], x, preferred_element_type=jnp.float32)
-    y = y.reshape(oh, W, C)
-    # cols: contract W with (ow, W) -> (ow, oh, C) -> (oh, ow, C)
-    y = jax.lax.dot_general(aw_ref[...], y, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    y = jnp.swapaxes(y, 0, 1)
+    y = jnp.dot(y, awt_ref[...], preferred_element_type=jnp.float32)
     o_ref[0] = jnp.clip(y, -1.0, 1.0).astype(o_ref.dtype)
 
 
@@ -40,19 +39,20 @@ def bicubic_clamp_pallas(x, out_hw, *, interpret: bool = False):
     B, H, W, C = x.shape
     oh, ow = out_hw
     ah = bicubic_weight_matrix(H, oh)
-    aw = bicubic_weight_matrix(W, ow)
-    kern = functools.partial(_kernel, H=H, W=W, C=C, oh=oh, ow=ow)
-    return pl.pallas_call(
-        kern,
-        grid=(B,),
+    awt = bicubic_weight_matrix(W, ow).T
+    planes = jnp.transpose(x, (0, 3, 1, 2)).reshape(B * C, H, W)
+    out = pl.pallas_call(
+        _kernel,
+        grid=(B * C,),
         in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, oh, ow, C), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, oh, ow), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, oh, ow, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * C, oh, ow), x.dtype),
         interpret=interpret,
-    )(x, ah, aw)
+    )(planes, ah, awt)
+    return jnp.transpose(out.reshape(B, C, oh, ow), (0, 2, 3, 1))

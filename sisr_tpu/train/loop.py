@@ -63,12 +63,16 @@ def resolve_seed(seed: Optional[int]) -> int:
 
 
 def effective_generator_cfg(cfg: TrainConfig) -> GeneratorConfig:
-    """Final (post-growth) generator architecture."""
+    """Final (post-growth) generator architecture. Input channels follow the
+    dataset geometry (reference config.py:80:
+    Generator(input_channels=image_size_lr[0]) — 1 for mnist, 3 otherwise)."""
+    hr_s, _ = cfg.geometry()
+    gen = dataclasses.replace(cfg.generator, input_channels=hr_s[0])
     if cfg.progressive_suffix is None:
-        return cfg.generator
+        return gen
     n = _PRE_SUFFIXES[cfg.progressive_suffix] + (
         1 if cfg.progressive_suffix in _GROW_AFTER else 0)
-    return dataclasses.replace(cfg.generator, n_suffixes=n)
+    return dataclasses.replace(gen, n_suffixes=n)
 
 
 def assemble_state(key, cfg: TrainConfig, checkpoint: Dict,
@@ -83,7 +87,7 @@ def assemble_state(key, cfg: TrainConfig, checkpoint: Dict,
     final_gen = effective_generator_cfg(cfg)
 
     pre_gen = final_gen if ps is None else dataclasses.replace(
-        cfg.generator, n_suffixes=_PRE_SUFFIXES[ps])
+        final_gen, n_suffixes=_PRE_SUFFIXES[ps])
     params_g, state_g = generator_init(kg, pre_gen)
 
     reports = {}

@@ -131,3 +131,34 @@ def test_end_to_end_unsupervised(tmp_path):
     res = train(cfg, save=False, synthetic_len=40, verbose=False)
     assert np.isfinite(res.metrics["psnr"])
     assert len(res.losses["D"]) > 0 and res.losses["D"][0] > 0
+
+
+def test_mnist_one_channel_flow():
+    """Reference config.py:80: generator input channels follow the dataset;
+    1-channel data uses the identity extractor (config.py:100-104)."""
+    import dataclasses
+    from sisr_tpu.config import preset_x2_mse
+    cfg = preset_x2_mse("mnist", num_epochs=1, n_batch=3, batch_size=4,
+                        seed=1, compute_dtype="float32",
+                        d_features=(8, 16), d_strides=(1, 2))
+    cfg = dataclasses.replace(
+        cfg, generator=GeneratorConfig(n_blocks=2, n_features_block=8,
+                                       n_features_last=16))
+    r = train(cfg, save=False, synthetic_len=40, verbose=False)
+    assert np.isfinite(r.metrics["psnr"])
+    assert r.img_list[0][0].shape[-1] == 1
+
+
+def test_resume_continues_epoch_count(tmp_path):
+    """Resume: epoch numbering continues from the checkpoint (reference
+    starting_epoch, config.py:317-318)."""
+    cfg = _cfg(write_root=str(tmp_path) + "/")
+    r1 = train(cfg, save=True, synthetic_len=40, verbose=False)
+    from sisr_tpu.checkpoint import load_checkpoint
+    ck = load_checkpoint(r1.write_path)
+    assert ck["epoch"] == 1
+    r2 = train(cfg, checkpoint=ck, save=True, synthetic_len=40, verbose=False)
+    ck2 = load_checkpoint(r2.write_path)
+    assert ck2["epoch"] == 2
+    # optimizer step counter carried on
+    assert int(r2.ts["step"]) == 6
