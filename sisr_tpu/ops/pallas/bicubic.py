@@ -27,9 +27,14 @@ from sisr_tpu.ops.resize import bicubic_weight_matrix
 
 def _kernel(x_ref, ah_ref, awt_ref, o_ref):
     x = x_ref[0].astype(jnp.float32)
-    # rows: (oh, H) @ (H, W) -> (oh, W); cols: (oh, W) @ (W, ow) -> (oh, ow)
-    y = jnp.dot(ah_ref[...], x, preferred_element_type=jnp.float32)
-    y = jnp.dot(y, awt_ref[...], preferred_element_type=jnp.float32)
+    # rows: (oh, H) @ (H, W) -> (oh, W); cols: (oh, W) @ (W, ow) -> (oh, ow).
+    # HIGHEST precision: fp32 tap parity is a training-semantics contract
+    # (default MXU precision is bf16-pass and drifts ~1e-2).
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.dot(ah_ref[...], x, precision=hi,
+                preferred_element_type=jnp.float32)
+    y = jnp.dot(y, awt_ref[...], precision=hi,
+                preferred_element_type=jnp.float32)
     o_ref[0] = jnp.clip(y, -1.0, 1.0).astype(o_ref.dtype)
 
 
