@@ -106,6 +106,80 @@ def fold_generator(params, state, gen_cfg: GeneratorConfig):
     return fold_level(params, state)
 
 
+def deploy_apply(folded_params, x, gen_cfg: GeneratorConfig, *,
+                 use_pallas_trunk: bool = False,
+                 use_pallas_upscale: bool = False,
+                 compute_dtype=None, interpret: bool = False):
+    """Inference forward over FOLDED params (fold_generator output): the
+    lean deploy pipeline — stem, residual trunk, upscale stages, end conv —
+    with optional fused Pallas kernels for the trunk and the
+    conv+depth-to-space+PReLU upscale stages (BASELINE.json north star)."""
+    from sisr_tpu.nn.layers import conv2d_apply, pixel_shuffle, prelu_apply
+    from sisr_tpu.ops.pallas.fused_upscale import fused_conv_shuffle_prelu
+    from sisr_tpu.ops.pallas.trunk import fused_trunk
+
+    # collect suffix levels outermost-first, then the base
+    levels = []
+    node = folded_params
+    while "base" in node:
+        levels.append(node)
+        node = node["base"]
+    base = node
+
+    def upscale_stage(h, stage, r):
+        if use_pallas_upscale and r == 2:
+            return fused_conv_shuffle_prelu(
+                h, stage["conv"]["kernel"], stage["conv"]["bias"],
+                stage["prelu"]["alpha"], interpret=interpret)
+        y = conv2d_apply(stage["conv"], h, padding=1,
+                         compute_dtype=compute_dtype)
+        y = pixel_shuffle(y, r)
+        return prelu_apply(stage["prelu"], y)
+
+    h = conv2d_apply(base["first_layers"]["conv"], x, padding=4,
+                     compute_dtype=compute_dtype)
+    h = prelu_apply(base["first_layers"]["prelu"], h)
+
+    if use_pallas_trunk:
+        h = fused_trunk(h, base, interpret=interpret)
+    else:
+        h0 = h
+        for bp in base["blocks"]:
+            y = conv2d_apply(bp["conv1"], h, padding=1,
+                             compute_dtype=compute_dtype)
+            y = prelu_apply(bp["prelu"], y)
+            y = conv2d_apply(bp["conv2"], y, padding=1,
+                             compute_dtype=compute_dtype)
+            h = h + y
+        h = conv2d_apply(base["block_end"]["conv"], h, padding=1,
+                         compute_dtype=compute_dtype) + h0
+
+    for i, stage in enumerate(base["upscale"]):
+        h = upscale_stage(h, stage, gen_cfg.list_scales[i])
+    for lvl in reversed(levels):  # innermost suffix applies first
+        h = upscale_stage(h, lvl["upscale"], 2)
+
+    h = conv2d_apply(base["end"]["conv"], h, padding=1,
+                     compute_dtype=compute_dtype)
+    return jnp.tanh(h.astype(jnp.float32))
+
+
+def make_deploy_fn(params, state, gen_cfg: GeneratorConfig, *,
+                   use_pallas_trunk: bool = False,
+                   use_pallas_upscale: bool = False, compute_dtype=None):
+    """Fold BN/SN constants and return a jitted deploy-mode SR function."""
+    fp, _ = fold_generator(params, state, gen_cfg)
+
+    @jax.jit
+    def fwd(x):
+        return deploy_apply(fp, x, gen_cfg,
+                            use_pallas_trunk=use_pallas_trunk,
+                            use_pallas_upscale=use_pallas_upscale,
+                            compute_dtype=compute_dtype)
+
+    return fwd
+
+
 def make_sr_fn(gen_cfg: GeneratorConfig, *, compute_dtype=None,
                batch_stats: bool = True):
     """Jitted fixed-shape SR forward. `batch_stats=True` matches the

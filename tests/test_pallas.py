@@ -35,3 +35,50 @@ def test_bicubic_pallas_matches_xla(rng, in_hw, out_hw):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
     assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
+
+
+def test_fused_trunk_matches_folded_xla(rng):
+    from sisr_tpu.config import GeneratorConfig
+    from sisr_tpu.infer import fold_generator
+    from sisr_tpu.models.generator import generator_init
+    from sisr_tpu.ops.pallas.trunk import fused_trunk
+    from sisr_tpu.nn.layers import conv2d_apply
+
+    gcfg = GeneratorConfig(n_blocks=3, n_features_block=8,
+                           n_features_last=16, use_sn=True)
+    p, s = generator_init(jax.random.PRNGKey(0), gcfg)
+    fp, _ = fold_generator(p, s, gcfg)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 6, 6, 8)).astype(np.float32))
+
+    h = x
+    for bp in fp["blocks"]:
+        y = conv2d_apply(bp["conv1"], h, padding=1)
+        y = prelu_apply(bp["prelu"], y)
+        y = conv2d_apply(bp["conv2"], y, padding=1)
+        h = h + y
+    ref = conv2d_apply(fp["block_end"]["conv"], h, padding=1) + x
+    out = fused_trunk(x, fp, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_deploy_apply_matches_eval_forward(rng):
+    """Whole deploy pipeline (folded, with pallas kernels in interpret mode)
+    == eval-mode generator_apply."""
+    from sisr_tpu.config import GeneratorConfig
+    from sisr_tpu.infer import fold_generator, deploy_apply
+    from sisr_tpu.models.generator import generator_apply, generator_init
+
+    gcfg = GeneratorConfig(n_blocks=2, n_features_block=8,
+                           n_features_last=16, use_sn=True, n_suffixes=1)
+    p, s = generator_init(jax.random.PRNGKey(0), gcfg)
+    fp, _ = fold_generator(p, s, gcfg)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32))
+    ref, _ = generator_apply(p, s, x, train=False, cfg=gcfg)
+    for pallas in (False, True):
+        out = deploy_apply(fp, x, gcfg, use_pallas_trunk=pallas,
+                           use_pallas_upscale=pallas, interpret=True)
+        assert out.shape == (2, 32, 32, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-4,
+                                   err_msg=f"pallas={pallas}")
