@@ -93,24 +93,26 @@ def main():
     train_dt = (time.perf_counter() - t0) / iters
     train_mps = mp_per_batch / train_dt
 
-    # inference timing: chained device-resident loop (output feeds a no-op
-    # perturbation of the input so calls can't be deduplicated), one sync.
-    infer = make_sr_fn(cfg.generator, compute_dtype=jnp.bfloat16,
-                       batch_stats=False)
+    # inference timing: deploy-mode (BN/SN folded) jitted SR, chained
+    # device-resident loop (output feeds a no-op perturbation of the input
+    # so calls can't be deduplicated), one device_get sync.
+    from sisr_tpu.infer import make_deploy_fn
+    infer = make_deploy_fn(ts["params_g"], ts["state_g"], cfg.generator,
+                           compute_dtype=jnp.bfloat16)
 
     @jax.jit
-    def infer_chained(x, params, state):
-        y = infer(params, state, x)
+    def infer_chained(x):
+        y = infer(x)
         return x + (jnp.mean(y) * 0).astype(x.dtype)
 
     x = lr
     for _ in range(5):
-        x = infer_chained(x, ts["params_g"], ts["state_g"])
+        x = infer_chained(x)
     _ = float(jnp.sum(x))
     iters_i = 100
     t0 = time.perf_counter()
     for _ in range(iters_i):
-        x = infer_chained(x, ts["params_g"], ts["state_g"])
+        x = infer_chained(x)
     _ = float(jnp.sum(x))
     infer_dt = (time.perf_counter() - t0) / iters_i
     infer_mps = mp_per_batch / infer_dt

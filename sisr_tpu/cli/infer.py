@@ -40,6 +40,9 @@ def main(argv=None):
     ap.add_argument("--tiled", action="store_true",
                     help="halo-tiled SR (for large inputs)")
     ap.add_argument("--no-usr", action="store_true")
+    ap.add_argument("--deploy", action="store_true",
+                    help="deploy mode: fold BN/SN constants into conv "
+                         "weights (eval inference, fastest path)")
     args = ap.parse_args(argv)
 
     import jax
@@ -57,7 +60,13 @@ def main(argv=None):
 
     ds = make_dataset(args.dataset, args.data_root, hr_s)
     os.makedirs(args.out_dir, exist_ok=True)
-    fwd = make_sr_fn(gen_cfg, compute_dtype=jnp.bfloat16)
+    if args.deploy:
+        from sisr_tpu.infer import make_deploy_fn
+        deploy = make_deploy_fn(params, state, gen_cfg,
+                                compute_dtype=jnp.bfloat16)
+        fwd = lambda p, s, x: deploy(x)  # noqa: E731
+    else:
+        fwd = make_sr_fn(gen_cfg, compute_dtype=jnp.bfloat16)
 
     psnrs, ssims, psnrs_bicubic = [], [], []
     for i in range(min(args.n_images, len(ds))):

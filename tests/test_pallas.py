@@ -58,8 +58,9 @@ def test_fused_trunk_matches_folded_xla(rng):
         h = h + y
     ref = conv2d_apply(fp["block_end"]["conv"], h, padding=1) + x
     out = fused_trunk(x, fp, interpret=True)
+    # trunk kernel computes its dots in bf16 (MXU layout) -> bf16-level tol
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_deploy_apply_matches_eval_forward(rng):
@@ -75,10 +76,11 @@ def test_deploy_apply_matches_eval_forward(rng):
     fp, _ = fold_generator(p, s, gcfg)
     x = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32))
     ref, _ = generator_apply(p, s, x, train=False, cfg=gcfg)
-    for pallas in (False, True):
+    for pallas, tol in ((False, 1e-4), (True, 2e-2)):
         out = deploy_apply(fp, x, gcfg, use_pallas_trunk=pallas,
                            use_pallas_upscale=pallas, interpret=True)
         assert out.shape == (2, 32, 32, 3)
+        # pallas trunk runs bf16 dots -> bf16-level tolerance
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-3, atol=1e-4,
+                                   rtol=tol, atol=tol,
                                    err_msg=f"pallas={pallas}")
