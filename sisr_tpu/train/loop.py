@@ -198,9 +198,15 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
                                   mask_g=mask_g, jit=mesh is None, mesh=mesh)
 
     # replay: restore only when the generated-image scale matches
-    # (reference config.py:323-331)
-    buf = ReplayBuffer(cfg.replay, (cfg.batch_size, hr_s[1], hr_s[2], hr_s[0]),
-                       seed=seed)
+    # (reference config.py:323-331). host_offload picks the reference's
+    # dis_list_old_cpu mode: True = host numpy ring (+ per-step device_put),
+    # False = HBM-resident ring (train/replay_device.py).
+    buf_cls = ReplayBuffer
+    if not cfg.replay.host_offload:
+        from sisr_tpu.train.replay_device import DeviceReplayBuffer
+        buf_cls = DeviceReplayBuffer
+    buf = buf_cls(cfg.replay, (cfg.batch_size, hr_s[1], hr_s[2], hr_s[0]),
+                  seed=seed)
     scale_ok = checkpoint.get("scale_factor") == cfg.scale_factor
     n_restored = buf.load_state_dict(checkpoint.get("dis_list"), scale_ok)
     if verbose and checkpoint:
@@ -229,7 +235,11 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
             ts, fake, m = step_fn(ts, jnp.asarray(hr), jnp.asarray(hr_d),
                                   jnp.asarray(stack), jnp.asarray(mask),
                                   weights)
-            buf.maybe_store(it_global, np.asarray(fake))
+            # host buffer needs the fake on host (reference's .cpu() offload,
+            # train.py:59-61); the device buffer keeps it in HBM
+            buf.maybe_store(it_global,
+                            np.asarray(fake) if cfg.replay.host_offload
+                            else fake)
             it_global += 1
 
             if i % print_period == 0 and verbose:

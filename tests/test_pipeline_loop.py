@@ -162,3 +162,17 @@ def test_resume_continues_epoch_count(tmp_path):
     assert ck2["epoch"] == 2
     # optimizer step counter carried on
     assert int(r2.ts["step"]) == 6
+
+
+def test_device_replay_loop(tmp_path):
+    """host_offload=False: HBM-resident replay ring through the full loop."""
+    import dataclasses
+    cfg = _cfg(write_root=str(tmp_path) + "/",
+               windows=LossWindows(),  # D active so replay is exercised
+               replay=ReplayConfig(max_len=10, sample_ratio=0.2,
+                                   host_offload=False))
+    res = train(cfg, save=True, synthetic_len=40, verbose=False)
+    assert np.isfinite(res.metrics["psnr"])
+    from sisr_tpu.checkpoint import load_checkpoint
+    ck = load_checkpoint(res.write_path)
+    assert ck["dis_list"] is not None and len(ck["dis_list"]) == 3

@@ -281,3 +281,45 @@ def test_epoch_step_builder_variant_cache():
     f1b, _ = get(2)
     assert f0 is not f1 and f1 is f1b
     assert float(w0[0]) == 0.0 and float(w1[0]) == pytest.approx(5e-2)
+
+
+def test_device_replay_buffer_semantics():
+    from sisr_tpu.train.replay_device import DeviceReplayBuffer
+
+    cfg = ReplayConfig(max_len=10, save_freq=2, sample_ratio=0.3)
+    buf = DeviceReplayBuffer(cfg, (2, 4, 4, 3), seed=0)
+
+    stack, mask = buf.sample()
+    assert stack.shape == (3, 2, 4, 4, 3) and float(mask.sum()) == 0
+
+    for it in range(8):
+        buf.maybe_store(it, jnp.full((2, 4, 4, 3), it, jnp.float32))
+    assert len(buf) == 4  # save_freq gating
+
+    stack, mask = buf.sample()
+    assert float(mask.sum()) == int(4 * 0.3) == 1
+    # live slots hold stored batches (values in {0,2,4,6})
+    live = np.asarray(stack)[np.asarray(mask) > 0]
+    assert set(np.unique(live)).issubset({0.0, 2.0, 4.0, 6.0})
+
+    for it in range(100):
+        buf.maybe_store(2 * it, jnp.zeros((2, 4, 4, 3)))
+    assert len(buf) == 10  # eviction bounded
+
+    sd = buf.state_dict()
+    buf2 = DeviceReplayBuffer(cfg, (2, 4, 4, 3))
+    assert buf2.load_state_dict(sd, scale_matches=True) == 10
+    assert buf2.load_state_dict(sd, scale_matches=False) == 0
+
+
+def test_device_replay_distinct_sample_indices():
+    from sisr_tpu.train.replay_device import DeviceReplayBuffer
+
+    cfg = ReplayConfig(max_len=20, save_freq=1, sample_ratio=0.25)
+    buf = DeviceReplayBuffer(cfg, (1, 2, 2, 1), seed=1)
+    for it in range(20):
+        buf.maybe_store(it, jnp.full((1, 2, 2, 1), it, jnp.float32))
+    stack, mask = buf.sample()
+    assert float(mask.sum()) == 5
+    live = np.asarray(stack)[np.asarray(mask) > 0][:, 0, 0, 0].reshape(-1)
+    assert len(set(live.tolist())) == 5  # without replacement
