@@ -27,8 +27,9 @@ import numpy as np
 from sisr_tpu.config import ReplayConfig
 
 
-@functools.partial(jax.jit, static_argnames=("max_len",), donate_argnums=(0,))
-def _store(stack, n, key, fake, *, max_len):
+def replay_store(stack, n, key, fake, max_len: int):
+    """Traced core: insert (or random-overwrite) one batch. Returns
+    (stack, n)."""
     evict = jax.random.randint(key, (), 0, jnp.maximum(n, 1))
     idx = jnp.where(n < max_len, n, evict).astype(jnp.int32)
     stack = jax.lax.dynamic_update_index_in_dim(
@@ -36,8 +37,9 @@ def _store(stack, n, key, fake, *, max_len):
     return stack, jnp.minimum(n + 1, max_len)
 
 
-@functools.partial(jax.jit, static_argnames=("r", "ratio"))
-def _sample(stack, n, key, *, r, ratio):
+def replay_sample(stack, n, key, r: int, ratio: float):
+    """Traced core: r distinct uniform indices over the live prefix +
+    live-count mask. Returns (sampled fp32, mask)."""
     max_len = stack.shape[0]
     scores = jax.random.uniform(key, (max_len,))
     scores = jnp.where(jnp.arange(max_len) < n, scores, jnp.inf)
@@ -46,6 +48,16 @@ def _sample(stack, n, key, *, r, ratio):
     k = jnp.floor(n.astype(jnp.float32) * ratio).astype(jnp.int32)
     mask = (jnp.arange(r) < k).astype(jnp.float32)
     return sampled, mask
+
+
+@functools.partial(jax.jit, static_argnames=("max_len",), donate_argnums=(0,))
+def _store(stack, n, key, fake, *, max_len):
+    return replay_store(stack, n, key, fake, max_len)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "ratio"))
+def _sample(stack, n, key, *, r, ratio):
+    return replay_sample(stack, n, key, r, ratio)
 
 
 class DeviceReplayBuffer:

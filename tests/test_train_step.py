@@ -323,3 +323,28 @@ def test_device_replay_distinct_sample_indices():
     assert float(mask.sum()) == 5
     live = np.asarray(stack)[np.asarray(mask) > 0][:, 0, 0, 0].reshape(-1)
     assert len(set(live.tolist())) == 5  # without replacement
+
+
+def test_fused_multi_step_matches_semantics():
+    """K scanned steps advance state identically in structure to K single
+    steps and exercise in-graph replay."""
+    from sisr_tpu.train.multi_step import init_replay_state, make_multi_step
+
+    cfg = tiny_cfg(lr=1e-3, lr_decay=False)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, replay=ReplayConfig(max_len=10,
+                                                       sample_ratio=0.2))
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    hr_s, _ = cfg.geometry()
+    B, K = 2, 5
+    rs = init_replay_state(cfg, (B, hr_s[1], hr_s[2], hr_s[0]))
+    fused = make_multi_step(cfg, 100, k_steps=K, d_active=True,
+                            g_adv_active=True, cont_kind="identity")
+    rng = np.random.default_rng(0)
+    hrs = jnp.asarray(rng.uniform(-1, 1, (K, B, hr_s[1], hr_s[2], hr_s[0]))
+                      .astype(np.float32))
+    w = (jnp.float32(5e-2), jnp.float32(1.0), jnp.float32(10.0))
+    ts, rs, m = fused(ts, rs, hrs, hrs, w)
+    assert int(ts["step"]) == K and int(rs["n"]) == K
+    assert m["errD"].shape == (K,)
+    assert np.isfinite(np.asarray(m["errD"])).all()
