@@ -50,8 +50,7 @@ def main():
     from sisr_tpu.config import preset_x2_gan, GeneratorConfig
     import dataclasses
     from sisr_tpu.models.vgg import VGGConfig, vgg_init
-    from sisr_tpu.train import init_train_state, make_train_step
-    from sisr_tpu.infer import make_sr_fn
+    from sisr_tpu.train import init_train_state
 
     # canonical workload: celeba x4 (LR 32 -> HR 128), batch 16
     cfg = preset_x2_gan("celeba")
@@ -70,27 +69,33 @@ def main():
 
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
     vgg_params = vgg_init(jax.random.PRNGKey(1), VGGConfig(cfg.vgg_mask))
-    step = make_train_step(cfg, total_steps=1000, d_active=True,
-                           g_adv_active=True, cont_kind="vgg",
-                           vgg_params=vgg_params, jit=True)
-    R = cfg.replay.max_samples
-    replay = jnp.zeros((R, batch, hr_s[1], hr_s[2], hr_s[0]), jnp.float32)
-    rmask = jnp.ones((R,))  # steady state: replay buffer full, 10 live slots
+
+    # train timing: the fused multi-step driver (production path) — K GAN
+    # iterations per compiled call with the HBM-resident replay ring at
+    # steady state (buffer full => 10 live slots/step, the reference's
+    # steady-state workload). The final float() is a device_get that forces
+    # completion of the whole chain (plain block_until_ready can return
+    # early through the remote relay).
+    from sisr_tpu.train.multi_step import init_replay_state, make_multi_step
+    K = 8
+    rs = init_replay_state(cfg, (batch, hr_s[1], hr_s[2], hr_s[0]))
+    rs["n"] = jnp.asarray(cfg.replay.max_len, jnp.int32)
+    fused = make_multi_step(cfg, total_steps=1000, k_steps=K, d_active=True,
+                            g_adv_active=True, cont_kind="vgg",
+                            vgg_params=vgg_params)
+    hr_stack = jnp.broadcast_to(hr, (K,) + hr.shape)
     w = (jnp.float32(5e-2), jnp.float32(1.0), jnp.float32(1.0))
 
-    # train timing: state chains through the loop; the final float() is a
-    # device_get that forces completion of the whole chain (plain
-    # block_until_ready can return early through the remote relay).
     m = None
-    for _ in range(5):
-        ts, fake, m = step(ts, hr, hr, replay, rmask, w)
-    _ = float(m["errD"])
-    iters = 40
+    for _ in range(2):
+        ts, rs, m = fused(ts, rs, hr_stack, hr_stack, w)
+    _ = float(m["errD"][-1])
+    iters = 6
     t0 = time.perf_counter()
     for _ in range(iters):
-        ts, fake, m = step(ts, hr, hr, replay, rmask, w)
-    _ = float(m["errD"])
-    train_dt = (time.perf_counter() - t0) / iters
+        ts, rs, m = fused(ts, rs, hr_stack, hr_stack, w)
+    _ = float(m["errD"][-1])
+    train_dt = (time.perf_counter() - t0) / (iters * K)
     train_mps = mp_per_batch / train_dt
 
     # inference timing: deploy-mode (BN/SN folded) jitted SR, chained
