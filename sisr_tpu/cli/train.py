@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-save", action="store_true")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard the batch over all visible devices")
+    ap.add_argument("--fused-steps", type=int, default=None,
+                    help="run K iterations per compiled call (HBM replay "
+                         "ring; fastest single-chip path)")
+    ap.add_argument("--device-replay", action="store_true",
+                    help="HBM-resident replay ring (dis_list_old_cpu=False)")
     ap.add_argument("--synthetic-len", type=int, default=512)
     return ap
 
@@ -90,6 +95,10 @@ def config_from_args(args) -> C.TrainConfig:
         updates["content_loss_on_lr"] = True
     if args.no_sn:
         updates["generator"] = dataclasses.replace(cfg.generator, use_sn=False)
+    if args.device_replay or args.fused_steps:
+        updates["replay"] = dataclasses.replace(cfg.replay, host_offload=False)
+    if args.fused_steps:
+        updates["fused_steps"] = args.fused_steps
     return dataclasses.replace(cfg, **updates)
 
 

@@ -224,6 +224,9 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; state stays fp32
     bn_cross_replica: bool = True    # sync BN stats across the data mesh axis
     mesh_shape: Tuple[int, ...] = (-1,)  # 1-D data mesh over all devices
+    # >0: run K train iterations per compiled call (lax.scan driver with the
+    # HBM-resident replay ring) — amortizes host dispatch; 0 = per-step loop.
+    fused_steps: int = 0
 
     @property
     def scale_factor(self) -> int:

@@ -218,40 +218,95 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
     img_list: List[Tuple[np.ndarray, ...]] = []
     print_period = max(1, n_batch // 10)
 
+    # fused K-step driver (cfg.fused_steps > 0): requires the device ring
+    fused_cache: Dict = {}
+    if cfg.fused_steps > 0:
+        from sisr_tpu.train.multi_step import make_multi_step
+        from sisr_tpu.train.replay_device import DeviceReplayBuffer
+        if not isinstance(buf, DeviceReplayBuffer):
+            raise ValueError("fused_steps requires replay.host_offload=False "
+                             "(HBM-resident replay ring)")
+
+        def get_fused(epoch):
+            w_ag, w_ad, w_c, ck = cfg.windows.weights(
+                epoch, cfg.content_loss_on_lr)
+            key = (w_ad > 0, w_ag > 0, ck)
+            if key not in fused_cache:
+                fused_cache[key] = make_multi_step(
+                    cfg, total_steps, k_steps=cfg.fused_steps,
+                    d_active=key[0], g_adv_active=key[1], cont_kind=ck,
+                    vgg_params=vgg_params, mask_g=mask_g)
+            return fused_cache[key]
+
+    def emit(i, epoch, m, idx=None):
+        get = (lambda k: float(m[k][idx])) if idx is not None \
+            else (lambda k: float(m[k]))
+        if i % print_period == 0 and verbose:
+            print("[%d/%d][%d/%d]\tLoss_D: %.4f\tLoss_G_adv: %.4f\t"
+                  "Loss_G_con: %.4f\tD(x): %.4f\tD(G(z)): %.4f / %.4f"
+                  % (epoch, cfg.num_epochs + starting_epoch, i, n_batch,
+                     get("errD"), get("errG_adv"), get("errG_cont"),
+                     get("D_x"), get("D_G_z1"), get("D_G_z2")))
+        losses["G"].append(get("errG_adv"))
+        losses["D"].append(get("errD"))
+        losses["cont"].append(get("errG_cont"))
+
     t0 = time.time()
     it_global = 0
     p = s = float("nan")
     for epoch in range(starting_epoch, starting_epoch + cfg.num_epochs):
         step_fn, weights = get_step(epoch)
+        chunk: List = []
+
+        def run_single(hr, hr_d, i, epoch):
+            nonlocal ts, it_global
+            stack, mask = buf.sample()
+            ts, fake, m = step_fn(ts, jnp.asarray(hr), jnp.asarray(hr_d),
+                                  jnp.asarray(stack), jnp.asarray(mask),
+                                  weights)
+            # host buffer needs the fake on host (reference's .cpu()
+            # offload, train.py:59-61); the device buffer keeps it in HBM
+            buf.maybe_store(it_global,
+                            np.asarray(fake) if cfg.replay.host_offload
+                            else fake)
+            it_global += 1
+            emit(i, epoch, m)
+
+        def flush_chunk(epoch):
+            nonlocal ts, it_global, chunk
+            if not chunk:
+                return
+            if len(chunk) == cfg.fused_steps:
+                fused = get_fused(epoch)
+                hr_stack = jnp.asarray(np.stack([c[1] for c in chunk]))
+                hrd_stack = jnp.asarray(np.stack([c[2] for c in chunk]))
+                rs = buf.as_scan_state(it_global)
+                ts, rs, m = fused(ts, rs, hr_stack, hrd_stack, weights)
+                buf.load_scan_state(rs)
+                for k, (i, _, _) in enumerate(chunk):
+                    emit(i, epoch, m, idx=k)
+                it_global += len(chunk)
+            else:  # leftover partial chunk: per-step path
+                for i, hr, hr_d in chunk:
+                    run_single(hr, hr_d, i, epoch)
+            chunk = []
+
         for i, (hr, hr_d) in enumerate(loader):
             if i == n_batch - 1 or (plot_first and epoch == starting_epoch
                                     and i == 0):
+                flush_chunk(epoch)
                 img_list.append(snapshot(infer_fn, ts, test_lr, test_hr,
                                          plot_usr))
                 if i == n_batch - 1:
                     break  # reference skips training the snapshot batch
 
-            stack, mask = buf.sample()
-            ts, fake, m = step_fn(ts, jnp.asarray(hr), jnp.asarray(hr_d),
-                                  jnp.asarray(stack), jnp.asarray(mask),
-                                  weights)
-            # host buffer needs the fake on host (reference's .cpu() offload,
-            # train.py:59-61); the device buffer keeps it in HBM
-            buf.maybe_store(it_global,
-                            np.asarray(fake) if cfg.replay.host_offload
-                            else fake)
-            it_global += 1
-
-            if i % print_period == 0 and verbose:
-                print("[%d/%d][%d/%d]\tLoss_D: %.4f\tLoss_G_adv: %.4f\t"
-                      "Loss_G_con: %.4f\tD(x): %.4f\tD(G(z)): %.4f / %.4f"
-                      % (epoch, cfg.num_epochs + starting_epoch, i, n_batch,
-                         float(m["errD"]), float(m["errG_adv"]),
-                         float(m["errG_cont"]), float(m["D_x"]),
-                         float(m["D_G_z1"]), float(m["D_G_z2"])))
-            losses["G"].append(float(m["errG_adv"]))
-            losses["D"].append(float(m["errD"]))
-            losses["cont"].append(float(m["errG_cont"]))
+            if cfg.fused_steps > 0:
+                chunk.append((i, hr, hr_d))
+                if len(chunk) == cfg.fused_steps:
+                    flush_chunk(epoch)
+            else:
+                run_single(hr, hr_d, i, epoch)
+        flush_chunk(epoch)
 
         # epoch-end quality metrics (not in reference; README.md:88 TODO)
         sr_test = infer_fn(ts["params_g"], ts["state_g"], jnp.asarray(test_lr))

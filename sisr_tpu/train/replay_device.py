@@ -92,6 +92,16 @@ class DeviceReplayBuffer:
             return sampled[:0], mask[:0]
         return sampled, mask
 
+    # --- fused-driver interop (train/multi_step.py carry format) ---
+
+    def as_scan_state(self, iteration: int):
+        return {"stack": self._stack, "n": self._n, "key": self._key,
+                "it": jnp.asarray(iteration, jnp.int32)}
+
+    def load_scan_state(self, rs) -> None:
+        self._stack, self._n = rs["stack"], rs["n"]
+        self._key = rs["key"]
+
     # --- persistence (same wire format as the host buffer) ---
 
     def state_dict(self) -> Optional[np.ndarray]:
