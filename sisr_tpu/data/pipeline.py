@@ -48,16 +48,24 @@ class SyntheticDataset:
 
     def __getitem__(self, i: int) -> np.ndarray:
         rng = np.random.default_rng(i)
-        # sum of low-frequency gratings + mild noise, then squash to [-1, 1]
         yy, xx = np.mgrid[0:self.h, 0:self.w].astype(np.float32)
         img = np.zeros((self.h, self.w, self.c), np.float32)
-        for _ in range(6):
+        # low-frequency gratings (base structure)
+        for _ in range(4):
             fx, fy = rng.uniform(0.5, 6, 2)
             ph = rng.uniform(0, 2 * np.pi, self.c).astype(np.float32)
-            amp = rng.uniform(0.2, 0.8)
+            amp = rng.uniform(0.2, 0.6)
             wave = np.sin(2 * np.pi * (fx * xx / self.w + fy * yy / self.h))
             img += amp * wave[..., None] * np.cos(ph)[None, None, :]
-        img += rng.normal(0, 0.05, img.shape).astype(np.float32)
+        # sharp-edged rectangles: high-frequency content that bicubic
+        # upscaling blurs, so learned SR has something to win on
+        for _ in range(8):
+            y0, x0 = rng.integers(0, self.h - 2), rng.integers(0, self.w - 2)
+            hh = int(rng.integers(2, max(3, self.h // 3)))
+            ww = int(rng.integers(2, max(3, self.w // 3)))
+            col = rng.uniform(-1.2, 1.2, self.c).astype(np.float32)
+            img[y0:y0 + hh, x0:x0 + ww] += col
+        img += rng.normal(0, 0.03, img.shape).astype(np.float32)
         return np.tanh(img).astype(np.float32)
 
 

@@ -54,6 +54,22 @@ def discriminator_init(key, cfg: DiscriminatorConfig):
     return params, state
 
 
+def discriminator_sn_update(params, state):
+    """One spectral-norm power iteration on every SN conv, standalone.
+
+    SN updates are input-independent, so the per-forward iteration the
+    reference's hooks perform can be hoisted out of batched multi-slot
+    forwards: update (u, v) once here, then run every slot with
+    sn_train=False on the returned state."""
+    ns = {"stem": dict(state["stem"]), "blocks": [dict(b) for b in state["blocks"]]}
+    _, ns["stem"]["conv"] = sn_normalize(params["stem"]["conv"]["kernel"],
+                                         state["stem"]["conv"], train=True)
+    for i, (bp, bs) in enumerate(zip(params["blocks"], state["blocks"])):
+        _, ns["blocks"][i]["conv"] = sn_normalize(bp["conv"]["kernel"],
+                                                  bs["conv"], train=True)
+    return ns
+
+
 def discriminator_apply(params, state, x, *, train: bool, cfg: DiscriminatorConfig,
                         compute_dtype=None, bn_axis: Optional[str] = None,
                         return_logits: bool = False, sn_train: Optional[bool] = None):

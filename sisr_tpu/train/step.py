@@ -122,60 +122,61 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
 
         # ------------------------------------------------------ D update
         if d_active:
+            from sisr_tpu.models.discriminator import discriminator_sn_update
+
             def d_loss_fn(params_d):
-                st = ts["state_d"]
-                d_real, st = d_apply(params_d, st, hr_d, train=True)
-                loss = bce_with_logits(d_real, 0.9)  # one-sided smoothing
-                d_x = jnp.mean(jax.nn.sigmoid(d_real))
+                # ALL of the D update's forwards — real, current fake, and
+                # the replay slots — run as ONE vmapped batched pass
+                # (effective batch (R+2)*B keeps the MXU fed; a
+                # cond-in-scan formulation costs ~30 ms/step and separate
+                # b16 real/fake passes run at single-digit TF/s).
+                # Exactness:
+                # - SN power iteration is input-independent, so the
+                #   per-forward iteration hoists to one standalone update
+                #   whose (u, v) all slots then share (sn_train=False);
+                # - train-mode BN normalizes by per-slot batch stats, which
+                #   never read the running stats — the vmapped losses equal
+                #   the reference's sequential forwards bit-for-bit;
+                # - each live slot adds a full (summed, not averaged) BCE
+                #   term (reference train.py:141-166);
+                # - running stats are re-chained in slot order [real, fake,
+                #   replay...] in closed form below.
+                st0 = discriminator_sn_update(params_d, ts["state_d"])
+                slots = jnp.concatenate(
+                    [hr_d[None].astype(jnp.float32),
+                     fake[None].astype(jnp.float32),
+                     lax.stop_gradient(replay)], axis=0)
+                smask = jnp.concatenate([jnp.ones((2,)), replay_mask])
 
-                d_fake, st = d_apply(params_d, st, fake, train=True, sn_train=False)
-                loss = loss + bce_with_logits(d_fake, 0.0)
-                dgz1 = jnp.mean(jax.nn.sigmoid(d_fake))
+                d_out, st_slots = jax.vmap(
+                    lambda xb: d_apply(params_d, st0, xb, train=True,
+                                       sn_train=False))(slots)
+                loss = bce_with_logits(d_out[0], 0.9)  # one-sided smoothing
+                fake_bce = jax.vmap(
+                    lambda l: bce_with_logits(l, 0.0))(d_out[1:])
+                loss = loss + jnp.sum(fake_bce * smask[1:])
+                probs = jax.nn.sigmoid(d_out)
+                d_x = jnp.mean(probs[0])
+                dgz1 = jnp.sum(jnp.mean(probs[1:], axis=1) * smask[1:])
 
-                if replay.shape[0] > 0:
-                    # Replay slots as ONE vmapped batched forward (a
-                    # cond-in-scan formulation costs ~30 ms/step on TPU even
-                    # with every slot dead — conditionals pessimize badly
-                    # under AD). Semantics preserved exactly:
-                    # - BN normalization in train mode uses per-slot batch
-                    #   stats, which don't depend on running stats — so
-                    #   vmapping from the same input state gives bit-equal
-                    #   losses to the reference's sequential forwards;
-                    # - each live slot adds a full (summed) BCE term
-                    #   (reference train.py:151-166);
-                    # - running stats are re-chained in slot order below in
-                    #   closed form; dead slots are masked out of both.
-                    replay_sg = lax.stop_gradient(replay)
-                    d_rep, st_rep = jax.vmap(
-                        lambda fb: d_apply(params_d, st, fb, train=True,
-                                           sn_train=False))(replay_sg)
-                    per_slot_bce = jax.vmap(
-                        lambda l: bce_with_logits(l, 0.0))(d_rep)
-                    loss = loss + jnp.sum(per_slot_bce * replay_mask)
-                    dgz1 = dgz1 + jnp.sum(
-                        jnp.mean(jax.nn.sigmoid(d_rep), axis=1) * replay_mask)
+                # closed-form sequential chaining of state updates:
+                # new_i = (1-m)*old + m*stat_i (all computed from the shared
+                # st0 under vmap) => run' = (1-m)*run + new_i - (1-m)*old.
+                # The rule is a no-op for leaves the forward left unchanged
+                # (SN u/v), so it applies uniformly; dead slots are skipped.
+                m_bn = 0.1  # BatchNorm momentum (torch default)
 
-                    # closed-form sequential chaining of state updates:
-                    # new_i = (1-m)*old + m*stat_i  (from the shared old
-                    # state under vmap)  =>  run' = (1-m)*run + new_i -
-                    # (1-m)*old. The rule is a no-op for leaves the forward
-                    # left unchanged (SN u/v), so it applies uniformly.
-                    m_bn = 0.1  # BatchNorm momentum (torch default)
+                def chain(old_leaf, new_leaves):
+                    def body(run, i):
+                        upd = ((1 - m_bn) * run + new_leaves[i]
+                               - (1 - m_bn) * old_leaf)
+                        return jnp.where(smask[i] > 0, upd, run), None
+                    out, _ = lax.scan(body, old_leaf,
+                                      jnp.arange(slots.shape[0]))
+                    return out
 
-                    def chain(run_leaf, new_leaves, old_leaf):
-                        def body(run, i):
-                            upd = ((1 - m_bn) * run + new_leaves[i]
-                                   - (1 - m_bn) * old_leaf)
-                            return jnp.where(replay_mask[i] > 0, upd, run), None
-                        out, _ = lax.scan(body, run_leaf,
-                                          jnp.arange(replay.shape[0]))
-                        return out
-
-                    st = jax.tree_util.tree_map(
-                        lambda old_l, new_l: chain(old_l, new_l, old_l),
-                        st, st_rep)
-                # summed (not averaged) over fakes, then scaled
-                # (reference train.py:76 `errD *= lw_adv_d`)
+                st = jax.tree_util.tree_map(chain, st0, st_slots)
+                # summed over fakes, then scaled (reference train.py:76)
                 loss = loss * w_adv_d
                 return loss, (st, d_x, dgz1)
 
