@@ -20,7 +20,7 @@ import dataclasses
 import io
 import os
 import pickle
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np

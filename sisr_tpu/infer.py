@@ -19,7 +19,7 @@ loose tolerance and visually indistinguishable.
 """
 from __future__ import annotations
 
-import functools
+
 import math
 from typing import Optional, Tuple
 
