@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-sn", action="store_true",
                     help="disable spectral norm on the generator")
     ap.add_argument("--no-save", action="store_true")
+    ap.add_argument("--no-plot-first", action="store_true",
+                    help="skip the before-training snapshot (reference "
+                         "plot_first, config.py:65)")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard the batch over all visible devices")
     ap.add_argument("--fused-steps", type=int, default=None,
@@ -124,8 +127,21 @@ def main(argv=None):
 
     from sisr_tpu.train.loop import train
     result = train(cfg, checkpoint=checkpoint, mesh=mesh,
-                   save=not args.no_save, synthetic_len=args.synthetic_len)
+                   save=not args.no_save, plot_first=not args.no_plot_first,
+                   synthetic_len=args.synthetic_len)
     print("final metrics:", result.metrics)
+
+    # end-of-run figures (reference save_and_show, utils.py:83-94:
+    # loss curves + LR/SR/HR/USR panel + training animation) — written to
+    # files next to the checkpoint instead of blocking on plt.show()
+    if result.write_path and result.img_list:
+        from sisr_tpu import viz
+        test_hr, test_lr = result.test_batch
+        outs = [viz.save_loss_curves(result.losses, result.write_path),
+                viz.save_quad_panel(test_lr, test_hr, result.img_list,
+                                    result.write_path),
+                viz.save_animation(result.img_list, result.write_path)]
+        print("figures:", [o for o in outs if o])
     return result
 
 
