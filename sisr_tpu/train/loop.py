@@ -239,6 +239,8 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
             return fused_cache[key]
 
     def emit(i, epoch, m, idx=None):
+        # m must already be host-side (one device_get per step/chunk —
+        # per-scalar float() syncs cost ~0.1 s each through a remote runtime)
         get = (lambda k: float(m[k][idx])) if idx is not None \
             else (lambda k: float(m[k]))
         if i % print_period == 0 and verbose:
@@ -270,7 +272,7 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
                             np.asarray(fake) if cfg.replay.host_offload
                             else fake)
             it_global += 1
-            emit(i, epoch, m)
+            emit(i, epoch, jax.device_get(m))
 
         def flush_chunk(epoch):
             nonlocal ts, it_global, chunk
@@ -283,8 +285,9 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
                 rs = buf.as_scan_state(it_global)
                 ts, rs, m = fused(ts, rs, hr_stack, hrd_stack, weights)
                 buf.load_scan_state(rs)
+                m_host = jax.device_get(m)
                 for k, (i, _, _) in enumerate(chunk):
-                    emit(i, epoch, m, idx=k)
+                    emit(i, epoch, m_host, idx=k)
                 it_global += len(chunk)
             else:  # leftover partial chunk: per-step path
                 for i, hr, hr_d in chunk:
