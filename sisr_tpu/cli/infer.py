@@ -73,9 +73,11 @@ def main(argv=None):
         hr = ds[i][None]  # (1, H, W, C)
         lr = np.asarray(lr_from_hr(jnp.asarray(hr), (lr_s[1], lr_s[2])))
         if args.tiled:
+            # lr is always (1, h, w, C) here; deploy mode composes by
+            # overriding the per-tile forward with the folded fn
             sr = tiled_sr(params, state, lr, gen_cfg,
-                          compute_dtype=jnp.bfloat16)[None] \
-                if lr.ndim == 3 else tiled_sr(params, state, lr, gen_cfg)
+                          compute_dtype=jnp.bfloat16,
+                          fwd=fwd if args.deploy else None)
         else:
             sr = np.asarray(fwd(params, state, jnp.asarray(lr)))
         rows = [("LR", lr[0]), ("SR", sr[0]), ("HR", hr[0])]

@@ -188,7 +188,9 @@ class TrainConfig:
     n_batch: int = -1             # cap on batches/epoch; -1 = full epoch
     num_epochs: int = 3           # reference config.py:46
     lr: float = 1e-5              # reference config.py:38
-    lr_decay: bool = True         # 10x exponential decay over the whole run
+    # 10x exponential decay over the run; restarts at full base LR on every
+    # resume (the reference rebuilds LambdaLR per run, config.py:170-180)
+    lr_decay: bool = True
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     content_loss_on_lr: bool = False  # unsupervised / AmbientGAN mode
@@ -220,10 +222,10 @@ class TrainConfig:
     d_features: Tuple[int, ...] = (64, 64, 128, 128, 256, 256, 512, 512)
     d_strides: Tuple[int, ...] = (1, 2, 1, 2, 1, 2, 1, 2)
 
-    # TPU-specific (no reference analog)
+    # TPU-specific (no reference analog). Parallelism has no knob here:
+    # pass a jax.sharding.Mesh to train() — under GSPMD the sharded batch
+    # axis also makes BN statistics global (sync BN; parallel/mesh.py:11-15).
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; state stays fp32
-    bn_cross_replica: bool = True    # sync BN stats across the data mesh axis
-    mesh_shape: Tuple[int, ...] = (-1,)  # 1-D data mesh over all devices
     # >0: run K train iterations per compiled call (lax.scan driver with the
     # HBM-resident replay ring) — amortizes host dispatch; 0 = per-step loop.
     fused_steps: int = 0
@@ -243,6 +245,18 @@ class TrainConfig:
 
     def geometry(self):
         return resolve_geometry(self.dataset, self.scale_factor)
+
+    def epoch_weights(self, epoch: int):
+        """windows.weights() plus the reference's 1-channel substitution:
+        gen_modules builds the content extractor as identity for 1-channel
+        data (reference config.py:100-104), so the content window's 'vgg'
+        kind resolves to 'identity' at the *content* weight (1.0*f) — the
+        identity-window weight (10.0*f) is untouched."""
+        w_ag, w_ad, w_c, ck = self.windows.weights(
+            epoch, self.content_loss_on_lr)
+        if ck == "vgg" and self.geometry()[0][0] == 1:
+            ck = "identity"
+        return w_ag, w_ad, w_c, ck
 
     def discriminator(self) -> DiscriminatorConfig:
         hr, _ = self.geometry()

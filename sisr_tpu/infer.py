@@ -206,7 +206,7 @@ def receptive_field_lr(gen_cfg: GeneratorConfig) -> int:
 def tiled_sr(params, state, image: np.ndarray, gen_cfg: GeneratorConfig, *,
              tile: int = 128, margin: Optional[int] = None,
              tile_batch: int = 16, compute_dtype=None,
-             batch_stats: bool = False) -> np.ndarray:
+             batch_stats: bool = False, fwd=None) -> np.ndarray:
     """Super-resolve one large NHWC image (or HWC) via valid-region tiling.
 
     The LR plane is covered by `tile`x`tile` patches overlapping by
@@ -220,6 +220,10 @@ def tiled_sr(params, state, image: np.ndarray, gen_cfg: GeneratorConfig, *,
     Tiling requires input-independent normalization, so BN runs on the
     checkpointed running stats (`batch_stats=False`) — per-tile batch stats
     would give each tile different statistics and produce seams.
+
+    `fwd` overrides the per-tile forward with any (params, state, x) -> sr
+    callable of the same geometry — e.g. a folded deploy fn from
+    make_deploy_fn (wrap it as `lambda p, s, x: deploy(x)`).
     """
     scale = gen_cfg.scale
     squeeze = image.ndim == 3
@@ -229,8 +233,9 @@ def tiled_sr(params, state, image: np.ndarray, gen_cfg: GeneratorConfig, *,
     if margin is None:
         margin = receptive_field_lr(gen_cfg)
 
-    fwd = make_sr_fn(gen_cfg, compute_dtype=compute_dtype,
-                     batch_stats=batch_stats)
+    if fwd is None:
+        fwd = make_sr_fn(gen_cfg, compute_dtype=compute_dtype,
+                         batch_stats=batch_stats)
 
     if H <= tile and W <= tile:
         out = np.asarray(fwd(params, state, jnp.asarray(image)))

@@ -4,7 +4,10 @@ Capability parity with reference model_generator.py:22-141:
 - Conv9x9 stem + PReLU; 16 residual blocks [conv3x3-BN-PReLU-conv3x3-BN] with
   local skip; conv3x3+BN trunk end with *global* skip; per-scale
   [conv3x3 -> depth-to-space x2 -> PReLU] upscale stages; conv3x3 + tanh end.
-- optional spectral norm on every conv (`use_sn`), carried as (u, v) state.
+- spectral norm carried as (u, v) state: *unconditional* on the stem, the
+  residual blocks, and the trunk-end conv (reference model_generator.py:
+  10,13,33,39 wrap those in sn() regardless of use_sn); `use_sn` gates only
+  the upscale and end convs (:43-63).
 - `no_end=True` exposes pre-output features — the growth seam the reference
   calls forward_no_end (model_generator.py:86-96).
 - progressive growth: `grow_suffix` wraps trained params with one new
@@ -69,15 +72,17 @@ def _base_init(key, cfg: GeneratorConfig):
     nf, nl = cfg.n_features_block, cfg.n_features_last
     keys = jax.random.split(key, 6 + cfg.n_blocks)
 
-    p_first, s_first = _conv_init(keys[0], 9, 9, cfg.input_channels, nf, cfg.use_sn)
+    # trunk convs are spectral-normed unconditionally (reference
+    # model_generator.py:10,13,33,39); use_sn gates only upscale/end (:43-63)
+    p_first, s_first = _conv_init(keys[0], 9, 9, cfg.input_channels, nf, True)
     params = {"first_layers": {"conv": p_first, "prelu": prelu_init()}}
     state = {"first_layers": {"conv": s_first}}
 
     blocks_p, blocks_s = [], []
     for i in range(cfg.n_blocks):
         k1, k2 = jax.random.split(keys[1 + i])
-        c1p, c1s = _conv_init(k1, 3, 3, nf, nf, cfg.use_sn)
-        c2p, c2s = _conv_init(k2, 3, 3, nf, nf, cfg.use_sn)
+        c1p, c1s = _conv_init(k1, 3, 3, nf, nf, True)
+        c2p, c2s = _conv_init(k2, 3, 3, nf, nf, True)
         b1p, b1s = batchnorm_init(nf)
         b2p, b2s = batchnorm_init(nf)
         blocks_p.append({"conv1": c1p, "bn1": b1p, "prelu": prelu_init(),
@@ -85,7 +90,7 @@ def _base_init(key, cfg: GeneratorConfig):
         blocks_s.append({"conv1": c1s, "bn1": b1s, "conv2": c2s, "bn2": b2s})
     params["blocks"], state["blocks"] = blocks_p, blocks_s
 
-    cep, ces = _conv_init(keys[1 + cfg.n_blocks], 3, 3, nf, nf, cfg.use_sn)
+    cep, ces = _conv_init(keys[1 + cfg.n_blocks], 3, 3, nf, nf, True)
     bep, bes = batchnorm_init(nf)
     params["block_end"] = {"conv": cep, "bn": bep}
     state["block_end"] = {"conv": ces, "bn": bes}

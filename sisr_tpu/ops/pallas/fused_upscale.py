@@ -90,7 +90,9 @@ def _run(xp, w9, bias, alpha, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, H * r, W * r, c), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H * r, W * r, c), xp.dtype),
+        # fp32 output always: Mosaic only lowers the stride-2 sublane stores
+        # for 32-bit data (bf16 inputs still feed the MXU dots as bf16)
+        out_shape=jax.ShapeDtypeStruct((B, H * r, W * r, c), jnp.float32),
         interpret=interpret,
     )(xp, w9, bias, alpha)
 

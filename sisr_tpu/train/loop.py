@@ -194,8 +194,12 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
                   "extractor (see tools/port_vgg_weights.py)")
         vgg_params = vgg_init(src, VGGConfig(cfg.vgg_mask))
 
+    # LR decay restarts at full base LR each run (reference rebuilds LambdaLR
+    # per run, config.py:170-180) even though the global step counter resumes
+    sched_step0 = int(ts["step"])
     get_step = epoch_step_builder(cfg, total_steps, vgg_params=vgg_params,
-                                  mask_g=mask_g, jit=mesh is None, mesh=mesh)
+                                  mask_g=mask_g, jit=mesh is None, mesh=mesh,
+                                  sched_step0=sched_step0)
 
     # replay: restore only when the generated-image scale matches
     # (reference config.py:323-331). host_offload picks the reference's
@@ -228,14 +232,14 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
                              "(HBM-resident replay ring)")
 
         def get_fused(epoch):
-            w_ag, w_ad, w_c, ck = cfg.windows.weights(
-                epoch, cfg.content_loss_on_lr)
+            w_ag, w_ad, w_c, ck = cfg.epoch_weights(epoch)
             key = (w_ad > 0, w_ag > 0, ck)
             if key not in fused_cache:
                 fused_cache[key] = make_multi_step(
                     cfg, total_steps, k_steps=cfg.fused_steps,
                     d_active=key[0], g_adv_active=key[1], cont_kind=ck,
-                    vgg_params=vgg_params, mask_g=mask_g)
+                    vgg_params=vgg_params, mask_g=mask_g,
+                    sched_step0=sched_step0)
             return fused_cache[key]
 
     def emit(i, epoch, m, idx=None):
@@ -258,6 +262,7 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
     p = s = float("nan")
     for epoch in range(starting_epoch, starting_epoch + cfg.num_epochs):
         step_fn, weights = get_step(epoch)
+        d_active_epoch = cfg.epoch_weights(epoch)[1] > 0
         chunk: List = []
 
         def run_single(hr, hr_d, i, epoch):
@@ -266,11 +271,16 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
             ts, fake, m = step_fn(ts, jnp.asarray(hr), jnp.asarray(hr_d),
                                   jnp.asarray(stack), jnp.asarray(mask),
                                   weights)
-            # host buffer needs the fake on host (reference's .cpu()
-            # offload, train.py:59-61); the device buffer keeps it in HBM
-            buf.maybe_store(it_global,
-                            np.asarray(fake) if cfg.replay.host_offload
-                            else fake)
+            # fakes enter the replay ring only while D updates run — the
+            # reference stores inside the `if lw_adv_d:` branch
+            # (train.py:59-71), so MSE-pretrain epochs must not pre-fill
+            # the buffer with pre-GAN fakes
+            if d_active_epoch:
+                # host buffer needs the fake on host (reference's .cpu()
+                # offload, train.py:59-61); the device buffer keeps it in HBM
+                buf.maybe_store(it_global,
+                                np.asarray(fake) if cfg.replay.host_offload
+                                else fake)
             it_global += 1
             emit(i, epoch, jax.device_get(m))
 
@@ -295,8 +305,10 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
             chunk = []
 
         for i, (hr, hr_d) in enumerate(loader):
-            if i == n_batch - 1 or (plot_first and epoch == starting_epoch
-                                    and i == 0):
+            # plot_first fires at absolute epoch 0 only (reference
+            # train.py:35: `epoch == 0`) — checkpoint-resumed runs get no
+            # extra pre-training snapshot
+            if i == n_batch - 1 or (plot_first and epoch == 0 and i == 0):
                 flush_chunk(epoch)
                 img_list.append(snapshot(infer_fn, ts, test_lr, test_hr,
                                          plot_usr))

@@ -37,7 +37,8 @@ def init_replay_state(cfg: TrainConfig, batch_shape, seed: int = 0):
 
 def make_multi_step(cfg: TrainConfig, total_steps: int, *, k_steps: int,
                     d_active: bool, g_adv_active: bool,
-                    cont_kind: Optional[str], vgg_params=None, mask_g=None):
+                    cont_kind: Optional[str], vgg_params=None, mask_g=None,
+                    sched_step0: int = 0):
     """fused(ts, replay_state, hr_stack, hr_d_stack, weights) ->
     (ts, replay_state, metrics-stacked-over-K).
 
@@ -45,7 +46,8 @@ def make_multi_step(cfg: TrainConfig, total_steps: int, *, k_steps: int,
     """
     inner = make_train_step(cfg, total_steps, d_active=d_active,
                             g_adv_active=g_adv_active, cont_kind=cont_kind,
-                            vgg_params=vgg_params, mask_g=mask_g, jit=False)
+                            vgg_params=vgg_params, mask_g=mask_g, jit=False,
+                            sched_step0=sched_step0)
     r = max(cfg.replay.max_samples, 1)
     ratio = cfg.replay.sample_ratio
     max_len = max(cfg.replay.max_len, 1)
@@ -61,7 +63,10 @@ def make_multi_step(cfg: TrainConfig, total_steps: int, *, k_steps: int,
             stack, mask = stack[:0], mask[:0]
         ts, fake, metrics = inner(ts, hr, hr_d, stack, mask, weights)
 
-        if cfg.replay.max_len == 0:
+        # store only while D updates run (reference stores inside the
+        # `if lw_adv_d:` branch, train.py:59-71) — pre-GAN epochs must not
+        # pre-fill the ring
+        if cfg.replay.max_len == 0 or not d_active:
             new_stack, new_n = rs["stack"], rs["n"]
         elif freq == 1:  # canonical config: store every iteration
             new_stack, new_n = replay_store(rs["stack"], rs["n"], k_store,

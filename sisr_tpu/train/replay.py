@@ -30,7 +30,6 @@ class ReplayBuffer:
                  seed: int = 0):
         self.cfg = cfg
         self.batch_shape = tuple(batch_shape)  # (B, H, W, C) of one fake batch
-        self._store = np.zeros((0,) + self.batch_shape, np.float32)
         self._items: list[np.ndarray] = []
         self._rng = np.random.default_rng(seed)
 

@@ -67,11 +67,15 @@ def init_train_state(key, cfg: TrainConfig) -> TrainState:
 def make_train_step(cfg: TrainConfig, total_steps: int, *,
                     d_active: bool, g_adv_active: bool,
                     cont_kind: Optional[str], vgg_params=None,
-                    mask_g=None, jit: bool = True):
+                    mask_g=None, jit: bool = True, sched_step0: int = 0):
     """Build one compiled variant of the train step.
 
     cont_kind: 'vgg' | 'identity' | None. `mask_g` is a trainable-mask
     pytree for the generator (progressive freezing); None = all trainable.
+    `sched_step0`: the run's starting global step — the LR schedule decays
+    from (step - sched_step0), so resumed runs restart the decay at full
+    base LR like the reference, which rebuilds LambdaLR each run
+    (config.py:170-180), while the global step counter itself continues.
     Returns step(ts, hr, hr_d, replay, replay_mask, weights) ->
     (ts, fake, metrics).
     """
@@ -98,7 +102,7 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
 
     def step_fn(ts: TrainState, hr, hr_d, replay, replay_mask, weights):
         w_adv_g, w_adv_d, w_cont = weights
-        lr_t = sched(ts["step"])
+        lr_t = sched(ts["step"] - sched_step0)
         img_lr = lr_from_hr(hr, lr_hw)
 
         # ONE G forward per step, exactly like the reference (train.py:53
@@ -241,7 +245,8 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
 
 
 def epoch_step_builder(cfg: TrainConfig, total_steps: int, vgg_params=None,
-                       mask_g=None, jit: bool = True, mesh=None):
+                       mask_g=None, jit: bool = True, mesh=None,
+                       sched_step0: int = 0):
     """Cache of compiled step variants keyed by the epoch's active losses.
 
     Host-side analog of the reference's per-epoch `if lw_*` gating
@@ -251,14 +256,13 @@ def epoch_step_builder(cfg: TrainConfig, total_steps: int, vgg_params=None,
     cache: Dict[Tuple[bool, bool, Optional[str]], Any] = {}
 
     def get(epoch: int):
-        w_adv_g, w_adv_d, w_cont, cont_kind = cfg.windows.weights(
-            epoch, cfg.content_loss_on_lr)
+        w_adv_g, w_adv_d, w_cont, cont_kind = cfg.epoch_weights(epoch)
         key = (w_adv_d > 0, w_adv_g > 0, cont_kind)
         if key not in cache:
             fn = make_train_step(
                 cfg, total_steps, d_active=key[0], g_adv_active=key[1],
                 cont_kind=cont_kind, vgg_params=vgg_params, mask_g=mask_g,
-                jit=jit and mesh is None)
+                jit=jit and mesh is None, sched_step0=sched_step0)
             if mesh is not None:
                 from sisr_tpu.parallel.mesh import shard_train_step
                 fn = shard_train_step(fn, mesh)

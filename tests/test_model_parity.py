@@ -39,8 +39,19 @@ def _copy_bn(m: nn.BatchNorm2d, p, s):
         m.running_var.copy_(torch.from_numpy(np.asarray(s["var"])))
 
 
+def _sn_wrap(conv: nn.Conv2d, s):
+    """Apply torch spectral_norm and seed its (u, v) from our carried state."""
+    conv = nn.utils.spectral_norm(conv)
+    with torch.no_grad():
+        conv.weight_u.copy_(torch.from_numpy(np.asarray(s["u"])))
+        conv.weight_v.copy_(torch.from_numpy(np.asarray(s["v"])))
+    return conv
+
+
 class _TorchGen(nn.Module):
-    """Reference-recipe generator (no SN), n_blocks=2, nf=8, nl=16, x2."""
+    """Reference-recipe generator at use_sn=False: SN still wraps the stem,
+    block, and trunk-end convs (reference model_generator.py:10,13,33,39);
+    upscale/end are plain convs. n_blocks=2, nf=8, nl=16, x2."""
 
     def __init__(self, params, state):
         super().__init__()
@@ -48,6 +59,8 @@ class _TorchGen(nn.Module):
         self.first_act = nn.PReLU()
         _copy_conv(self.first_conv, params["first_layers"]["conv"])
         _copy_prelu(self.first_act, params["first_layers"]["prelu"])
+        self.first_conv = _sn_wrap(self.first_conv,
+                                   state["first_layers"]["conv"])
 
         self.blocks = nn.ModuleList()
         for bp, bs in zip(params["blocks"], state["blocks"]):
@@ -59,12 +72,14 @@ class _TorchGen(nn.Module):
             _copy_conv(c1, bp["conv1"]); _copy_bn(b1, bp["bn1"], bs["bn1"])
             _copy_prelu(a, bp["prelu"])
             _copy_conv(c2, bp["conv2"]); _copy_bn(b2, bp["bn2"], bs["bn2"])
+            c1 = _sn_wrap(c1, bs["conv1"]); c2 = _sn_wrap(c2, bs["conv2"])
             self.blocks.append(nn.ModuleList([c1, b1, a, c2, b2]))
 
         self.end_conv = nn.Conv2d(8, 8, 3, padding=1)
         self.end_bn = nn.BatchNorm2d(8)
         _copy_conv(self.end_conv, params["block_end"]["conv"])
         _copy_bn(self.end_bn, params["block_end"]["bn"], state["block_end"]["bn"])
+        self.end_conv = _sn_wrap(self.end_conv, state["block_end"]["conv"])
 
         self.up_conv = nn.Conv2d(8, 16, 3, padding=1)
         self.up_ps = nn.PixelShuffle(2)
@@ -188,3 +203,20 @@ def test_discriminator_forward_parity(rng):
     with torch.no_grad():
         ref = net(xt).numpy().reshape(-1)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-5)
+
+
+def test_sn_gating_matches_reference():
+    """use_sn=False still spectral-norms the trunk (reference
+    model_generator.py:10,13,33,39 wrap stem/blocks/trunk-end in sn()
+    unconditionally); use_sn gates only the upscale and end convs (:43-63)."""
+    for use_sn in (False, True):
+        gcfg = GeneratorConfig(n_blocks=2, n_features_block=8,
+                               n_features_last=16, use_sn=use_sn)
+        _, state = generator_init(jax.random.PRNGKey(0), gcfg)
+        assert "u" in state["first_layers"]["conv"]
+        assert "u" in state["blocks"][0]["conv1"]
+        assert "u" in state["blocks"][1]["conv2"]
+        assert "u" in state["block_end"]["conv"]
+        gated = ("u" in state["upscale"][0]["conv"],
+                 "u" in state["end"]["conv"])
+        assert gated == (use_sn, use_sn)

@@ -176,3 +176,35 @@ def test_device_replay_loop(tmp_path):
     from sisr_tpu.checkpoint import load_checkpoint
     ck = load_checkpoint(res.write_path)
     assert ck["dis_list"] is not None and len(ck["dis_list"]) == 3
+
+
+def test_replay_store_gated_on_adv_d(tmp_path):
+    """A pre-GAN identity epoch must not pre-fill the replay ring: the
+    reference stores fakes inside the `if lw_adv_d:` branch only
+    (train.py:59-71)."""
+    cfg = _cfg(write_root=str(tmp_path) + "/",
+               windows=LossWindows(adv_g=(1, INF), adv_d=(1, INF),
+                                   content=(1, INF), identity=(0, 1)),
+               replay=ReplayConfig(max_len=10, sample_ratio=0.2))
+    res = train(cfg, save=True, synthetic_len=40, verbose=False)
+    from sisr_tpu.checkpoint import load_checkpoint
+    ck = load_checkpoint(res.write_path)
+    assert ck["dis_list"] is None or len(ck["dis_list"]) == 0
+
+
+def test_mnist_vgg_window_remaps_to_identity():
+    """1-channel data resolves the content ('vgg') window to the identity
+    extractor at the content weight 1.0*f (reference config.py:100-104 +
+    gen_losses) instead of crashing on missing vgg_params."""
+    import dataclasses
+    from sisr_tpu.config import preset_x2_gan
+    cfg = preset_x2_gan("mnist", num_epochs=1, n_batch=3, batch_size=4,
+                        seed=1, compute_dtype="float32",
+                        d_features=(8, 16), d_strides=(1, 2),
+                        replay=ReplayConfig(max_len=10, sample_ratio=0.1))
+    cfg = dataclasses.replace(cfg, generator=GeneratorConfig(
+        n_blocks=2, n_features_block=8, n_features_last=16))
+    w_ag, w_ad, w_c, ck = cfg.epoch_weights(0)
+    assert ck == "identity" and w_c == 1.0
+    r = train(cfg, save=False, synthetic_len=40, verbose=False)
+    assert np.isfinite(r.metrics["psnr"])

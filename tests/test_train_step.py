@@ -348,3 +348,53 @@ def test_fused_multi_step_matches_semantics():
     assert int(ts["step"]) == K and int(rs["n"]) == K
     assert m["errD"].shape == (K,)
     assert np.isfinite(np.asarray(m["errD"])).all()
+
+
+def test_fused_driver_store_gated_on_d():
+    """d_active=False epochs must not fill the replay ring (reference stores
+    inside the `if lw_adv_d:` branch, train.py:59-71)."""
+    from sisr_tpu.train.multi_step import init_replay_state, make_multi_step
+
+    import dataclasses
+    cfg = tiny_cfg(lr=1e-3, lr_decay=False)
+    cfg = dataclasses.replace(cfg, replay=ReplayConfig(max_len=10,
+                                                       sample_ratio=0.2))
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    hr_s, _ = cfg.geometry()
+    B, K = 2, 3
+    rs = init_replay_state(cfg, (B, hr_s[1], hr_s[2], hr_s[0]))
+    fused = make_multi_step(cfg, 100, k_steps=K, d_active=False,
+                            g_adv_active=False, cont_kind="identity")
+    rng = np.random.default_rng(0)
+    hrs = jnp.asarray(rng.uniform(-1, 1, (K, B, hr_s[1], hr_s[2], hr_s[0]))
+                      .astype(np.float32))
+    w = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(10.0))
+    ts, rs, _ = fused(ts, rs, hrs, hrs, w)
+    assert int(ts["step"]) == K and int(rs["n"]) == 0
+
+
+def test_lr_decay_restarts_on_resume(rng):
+    """The LR schedule counts from the run's starting step (sched_step0), so
+    a resumed run decays from full base LR like the reference, which
+    rebuilds LambdaLR each run (config.py:170-180)."""
+    cfg = tiny_cfg(lr=1e-3, lr_decay=True)
+    hr = _batch(rng, cfg, b=2)
+    R = cfg.replay.max_samples
+    replay = jnp.zeros((R, *hr.shape), jnp.float32)
+    rmask = jnp.zeros((R,), jnp.float32)
+    w = (jnp.float32(0), jnp.float32(0), jnp.float32(10.0))
+
+    def one_update(step0_val, sched_step0):
+        ts = init_train_state(jax.random.PRNGKey(0), cfg)
+        ts["step"] = jnp.asarray(step0_val, jnp.int32)
+        step = make_train_step(cfg, 10, d_active=False, g_adv_active=False,
+                               cont_kind="identity", jit=True,
+                               sched_step0=sched_step0)
+        ts, _, _ = step(ts, hr, hr, replay, rmask, w)
+        return np.asarray(jax.tree_util.tree_leaves(ts["params_g"])[0])
+
+    fresh = one_update(0, 0)
+    resumed = one_update(50, 50)   # restarted schedule: same effective LR
+    stale = one_update(50, 0)      # old behavior: decayed LR -> smaller move
+    np.testing.assert_array_equal(fresh, resumed)
+    assert not np.array_equal(fresh, stale)
