@@ -116,6 +116,11 @@ class GeneratorConfig:
     # jax.checkpoint (rematerialization) over each residual block: trades
     # FLOPs for HBM on large spatial sizes. No reference analog.
     remat: bool = False
+    # train-mode trunk as one VMEM-resident pallas kernel with a custom VJP
+    # (ops/pallas/trunk_train.py). Single-device train path only — the GSPMD
+    # mesh path keeps the unfused trunk (a custom call cannot be
+    # auto-partitioned over the batch axis). No reference analog.
+    fused_trunk: bool = False
 
     def __post_init__(self):
         if self.n_features_last % 4 != 0:

@@ -31,6 +31,10 @@ from sisr_tpu.nn.layers import (
 )
 from sisr_tpu.nn.spectral_norm import sn_init, sn_normalize
 
+#: run the stem in space-to-depth space when the ladder starts (s1, s2)
+#: — perf toggle, numerics identical either way (see discriminator_apply)
+FUSE_STEM = True
+
 
 def discriminator_init(key, cfg: DiscriminatorConfig):
     nfs, strides = cfg.list_n_features, cfg.list_stride
@@ -90,13 +94,62 @@ def discriminator_apply(params, state, x, *, train: bool, cfg: DiscriminatorConf
     kernel, s = sn_normalize(params["stem"]["conv"]["kernel"],
                              state["stem"]["conv"], train=sn_train)
     ns["stem"]["conv"] = s
-    # explicit padding=1: XLA 'SAME' pads (0,1) for stride-2 convs, torch's
-    # padding=1 pads (1,1) — tap alignment must match the reference
-    x = conv2d_apply(params["stem"]["conv"], x, stride=cfg.list_stride[0],
-                     padding=1, compute_dtype=cd, kernel_override=kernel)
-    x = leaky_relu(x)
+
+    # fused s2d stem: when the stem is stride 1 and the first block strides
+    # by 2 (the SRGAN ladder), run the stem in space-to-depth space — phase-
+    # packed output channels — and feed block 0's stride-2 conv (itself an
+    # s2d + stride-1 2x2 conv, nn/layers.py) directly. The full-resolution
+    # stem activation is never materialized: at the D update's effective
+    # batch (12 slots x 16) that map is ~0.8 GB/step of HBM traffic, and the
+    # C_in=3 conv runs 4x more MXU-efficient phase-packed (measured 9 TF/s
+    # -> see tools/bench_d_layers.py). Numerics: identical dot products (fp
+    # reassociation aside).
+    from sisr_tpu.nn.layers import (
+        _s2d_kernel_stride1_phases,
+        _s2d_kernel_stride2,
+        space_to_depth2,
+    )
+    from jax import lax
+
+    first_stride = cfg.list_stride[0]
+    fuse_stem = (FUSE_STEM and first_stride == 1 and len(cfg.list_stride) > 1
+                 and cfg.list_stride[1] == 2
+                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+    start_block = 0
+    if fuse_stem:
+        if cd is not None:
+            x = x.astype(cd)
+            kernel = kernel.astype(cd)
+        xs = space_to_depth2(x)
+        y = lax.conv_general_dilated(
+            xs, _s2d_kernel_stride1_phases(kernel), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + jnp.tile(params["stem"]["conv"]["bias"], 4).astype(y.dtype)
+        y = leaky_relu(y)  # == space_to_depth2(leaky_relu(stem_out))
+
+        bp, bs = params["blocks"][0], state["blocks"][0]
+        k0, s0 = sn_normalize(bp["conv"]["kernel"], bs["conv"], train=sn_train)
+        if cd is not None:
+            k0 = k0.astype(cd)
+        y = lax.conv_general_dilated(
+            y, _s2d_kernel_stride2(k0), (1, 1), [(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + bp["conv"]["bias"].astype(y.dtype)
+        y, bns = batchnorm_apply(bp["bn"], bs["bn"], y, train=train,
+                                 axis_name=bn_axis)
+        x = leaky_relu(y)
+        ns["blocks"].append({"conv": s0, "bn": bns})
+        start_block = 1
+    else:
+        # explicit padding=1: XLA 'SAME' pads (0,1) for stride-2 convs,
+        # torch's padding=1 pads (1,1) — tap alignment must match
+        x = conv2d_apply(params["stem"]["conv"], x, stride=first_stride,
+                         padding=1, compute_dtype=cd, kernel_override=kernel)
+        x = leaky_relu(x)
 
     for i, (bp, bs) in enumerate(zip(params["blocks"], state["blocks"])):
+        if i < start_block:
+            continue
         stride = cfg.list_stride[i + 1]
         kernel, s = sn_normalize(bp["conv"]["kernel"], bs["conv"], train=sn_train)
         y = conv2d_apply(bp["conv"], x, stride=stride, padding=1,

@@ -151,6 +151,60 @@ def n_suffix_levels(params) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _fused_trunk(params, state, x, *, cfg: GeneratorConfig, compute_dtype):
+    """Blocks + trunk-end + global skip as ONE pallas custom-VJP kernel
+    (ops/pallas/trunk_train.py). Exact contract vs the per-layer path is
+    tested in tests/test_trunk_train.py; the only numerical difference is
+    that inter-op activations stay fp32 instead of rounding to bf16.
+    Returns (out, ns_blocks, ns_block_end)."""
+    import jax as _jax
+
+    from sisr_tpu.nn.spectral_norm import sn_normalize
+    from sisr_tpu.ops.pallas.trunk_train import (
+        make_trunk_train,
+        pack_trunk_weights,
+    )
+
+    norm_blocks, ns_blocks = [], []
+    for bp, bs in zip(params["blocks"], state["blocks"]):
+        nb, out_s = dict(bp), {}
+        for c in ("conv1", "conv2"):
+            k, out_s[c] = sn_normalize(bp[c]["kernel"], bs[c], train=True)
+            nb[c] = {"kernel": k, "bias": bp[c]["bias"]}
+        norm_blocks.append(nb)
+        ns_blocks.append(out_s)
+    ke, se_new = sn_normalize(params["block_end"]["conv"]["kernel"],
+                              state["block_end"]["conv"], train=True)
+    norm_end = {"conv": {"kernel": ke,
+                         "bias": params["block_end"]["conv"]["bias"]},
+                "bn": params["block_end"]["bn"]}
+    w, b, gamma, beta, alpha = pack_trunk_weights(norm_blocks, norm_end)
+
+    cd = compute_dtype if compute_dtype is not None else jnp.float32
+    trunk = make_trunk_train(cfg.n_blocks,
+                             interpret=_jax.default_backend() == "cpu",
+                             compute_dtype=cd)
+    out, mu, var = trunk(x.astype(jnp.float32), w, b, gamma, beta, alpha)
+    mu = jax.lax.stop_gradient(mu)
+    var = jax.lax.stop_gradient(var)
+
+    # running-stat momentum updates, closed form == nn/layers.batchnorm_apply
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    unb = n / max(n - 1, 1)
+    m = 0.1
+
+    def bn_state(old, li):
+        return {"mean": (1 - m) * old["mean"] + m * mu[li],
+                "var": (1 - m) * old["var"] + m * var[li] * unb}
+
+    for k_i, (out_s, bs) in enumerate(zip(ns_blocks, state["blocks"])):
+        out_s["bn1"] = bn_state(bs["bn1"], 2 * k_i)
+        out_s["bn2"] = bn_state(bs["bn2"], 2 * k_i + 1)
+    ns_end = {"conv": se_new,
+              "bn": bn_state(state["block_end"]["bn"], 2 * cfg.n_blocks)}
+    return out, ns_blocks, ns_end
+
+
 def _base_forward_no_end(params, state, x, *, train, cfg: GeneratorConfig,
                          compute_dtype=None, bn_axis: Optional[str] = None):
     cd = compute_dtype
@@ -160,6 +214,17 @@ def _base_forward_no_end(params, state, x, *, train, cfg: GeneratorConfig,
                        state["first_layers"]["conv"], x, train=train, compute_dtype=cd)
     ns["first_layers"]["conv"] = s
     x = prelu_apply(params["first_layers"]["prelu"], x)
+
+    if cfg.fused_trunk and train and bn_axis is None:
+        x, ns["blocks"], ns["block_end"] = _fused_trunk(
+            params, state, x, cfg=cfg, compute_dtype=cd)
+        for i, (up, us) in enumerate(zip(params["upscale"], state["upscale"])):
+            x, s = _conv_apply(up["conv"], us["conv"], x, train=train,
+                               compute_dtype=cd)
+            ns["upscale"].append({"conv": s})
+            x = pixel_shuffle(x, cfg.list_scales[i])
+            x = prelu_apply(up["prelu"], x)
+        return x, ns
 
     residual = x
 

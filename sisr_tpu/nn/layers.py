@@ -43,10 +43,72 @@ def conv2d_init(key, kh: int, kw: int, c_in: int, c_out: int, dtype=jnp.float32)
     return {"kernel": kernel, "bias": bias}
 
 
+def space_to_depth2(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (row-phase,
+    col-phase, c). H and W must be even."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _s2d_kernel_stride2(kernel):
+    """3x3 stride-2 kernel (HWIO) -> equivalent 2x2 stride-1 kernel over the
+    space-to-depth input: tap dy of the strided conv reads input row
+    2y + dy - 1 = 2(y - 1 + a) + p with (a, p) = ((dy+1)//2, (dy+1)%2)."""
+    c, o = kernel.shape[2], kernel.shape[3]
+    w2 = jnp.zeros((2, 2, 2, 2, c, o), kernel.dtype)  # (a, b, p, q, c, o)
+    for dy in range(3):
+        a, p = (dy + 1) // 2, (dy + 1) % 2
+        for dx in range(3):
+            bb, q = (dx + 1) // 2, (dx + 1) % 2
+            w2 = w2.at[a, bb, p, q].set(kernel[dy, dx])
+    return w2.reshape(2, 2, 4 * c, o)
+
+
+def _s2d_kernel_stride1_phases(kernel):
+    """3x3 stride-1 kernel (HWIO) -> equivalent 3x3 kernel mapping a
+    space-to-depth input directly to the space-to-depth OUTPUT (4x output
+    channels, phase-packed). Output phase oy and tap dy read input row
+    2y + oy + dy - 1 = 2(y - 1 + a) + p. Lets a stride-1 conv with tiny
+    C_in (the D stem, C_in=3) run as a K=9*4C_in, N=4C_out matmul at half
+    spatial size, and compose with the stride-2 s2d conv with no
+    depth-to-space round trip."""
+    c, o = kernel.shape[2], kernel.shape[3]
+    w3 = jnp.zeros((3, 3, 2, 2, c, 2, 2, o), kernel.dtype)
+    for oy in range(2):
+        for dy in range(3):
+            t = oy + dy - 1
+            p = t % 2
+            a = (t - p) // 2 + 1
+            for ox in range(2):
+                for dx in range(3):
+                    s = ox + dx - 1
+                    q = s % 2
+                    bb = (s - q) // 2 + 1
+                    w3 = w3.at[a, bb, p, q, :, oy, ox, :].set(kernel[dy, dx])
+    return w3.reshape(3, 3, 4 * c, 4 * o)
+
+
+def depth_to_space2_phases(x):
+    """(B, H, W, 4C) phase-packed (row-phase, col-phase, c) -> (B, 2H, 2W, C).
+    Inverse of space_to_depth2."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
 def conv2d_apply(params, x, *, stride: int = 1, padding: str | int = "SAME",
                  compute_dtype=None, kernel_override=None):
     """NHWC conv. `kernel_override` substitutes a (spectrally) normalized
-    kernel while keeping the raw kernel as the trained parameter."""
+    kernel while keeping the raw kernel as the trained parameter.
+
+    (A space-to-depth lowering of stride-2 convs was measured SLOWER than
+    XLA's native strided path in both directions on v5e —
+    tools/bench_s2d_conv.py — so strided convs stay native here; the s2d
+    helpers below serve only the discriminator's fused stem.)"""
     kernel = params["kernel"] if kernel_override is None else kernel_override
     bias = params["bias"]
     if compute_dtype is not None:
