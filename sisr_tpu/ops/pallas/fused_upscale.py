@@ -93,6 +93,8 @@ def _run(xp, w9, bias, alpha, *, interpret=False):
         # fp32 output always: Mosaic only lowers the stride-2 sublane stores
         # for 32-bit data (bf16 inputs still feed the MXU dots as bf16)
         out_shape=jax.ShapeDtypeStruct((B, H * r, W * r, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 2 ** 20),
         interpret=interpret,
     )(xp, w9, bias, alpha)
 

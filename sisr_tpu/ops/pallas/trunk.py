@@ -85,6 +85,8 @@ def _run(x, w, b, alphas, *, interpret=False):
             pltpu.VMEM((H + 2, W + 2, nf), jnp.float32),
             pltpu.VMEM((H + 2, W + 2, nf), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 2 ** 20),
         interpret=interpret,
     )(x, w, b, alphas)
 

@@ -160,19 +160,21 @@ def trunk_train_ref(x0, w, b, gamma, beta, alpha,
 # ---------------------------------------------------------------------------
 
 
-def _im2col(src_ref, bimg, H: int, W: int, nf: int, cd):
-    """im2col patch of one image (dynamic index) from a zero-bordered
-    (B, H+2, W+2, nf) ref: (H*W, 9*nf), tap-major columns."""
-    cols = [src_ref[pl.ds(bimg, 1), dy:dy + H, dx:dx + W, :]
-            .reshape(H * W, nf) for dy in range(3) for dx in range(3)]
+def _chunks(B: int):
+    """Split the batch into two im2col chunks: M = B*H*W/2 dots keep the
+    MXU fed (per-image M=H*W ran ~2x slower) while halving the ~19 MB
+    whole-batch patch that pushed the backward past the 128 MB VMEM."""
+    half = max(1, B // 2)
+    return [(0, half)] + ([(half, B)] if half < B else [])
+
+
+def _im2col_rows(src_ref, b0: int, b1: int, H: int, W: int, nf: int, cd):
+    """im2col of images [b0, b1) from a zero-bordered (B, H+2, W+2, nf)
+    ref: ((b1-b0)*H*W, 9*nf), tap-major columns."""
+    cols = [src_ref[b0:b1, dy:dy + H, dx:dx + W, :]
+            .reshape((b1 - b0) * H * W, nf)
+            for dy in range(3) for dx in range(3)]
     return jnp.concatenate(cols, axis=1).astype(cd)
-
-
-def _conv9_img(src_ref, bimg, w, H: int, W: int, nf: int, cd):
-    """3x3 conv of one image as a single im2col MXU dot (K = 9*nf).
-    Returns (H*W, nf) fp32. bimg may be a traced index."""
-    return jnp.dot(_im2col(src_ref, bimg, H, W, nf, cd), w,
-                   preferred_element_type=jnp.float32)
 
 
 def _fwd_kernel(x0_ref, w_ref, b_ref, g_ref, bt_ref, a_ref,
@@ -192,14 +194,11 @@ def _fwd_kernel(x0_ref, w_ref, b_ref, g_ref, bt_ref, a_ref,
         returns (mu, var) each (1, nf)."""
         w = w_ref[li].astype(cd)
         brow = b_ref[li].reshape(1, nf)
-
-        def body(bimg, carry):
-            y = _conv9_img(src, bimg, w, H, W, nf, cd) + brow
-            dst_ref[pl.ds(bimg, 1)] = \
-                y.reshape(1, H, W, nf).astype(dst_ref.dtype)
-            return carry
-
-        jax.lax.fori_loop(0, B, body, 0, unroll=False)
+        for b0, b1 in _chunks(B):
+            patch = _im2col_rows(src, b0, b1, H, W, nf, cd)
+            y = jnp.dot(patch, w, preferred_element_type=jnp.float32) + brow
+            dst_ref[b0:b1] = y.reshape(b1 - b0, H, W, nf) \
+                .astype(dst_ref.dtype)
         yf = dst_ref[...].astype(jnp.float32).reshape(N, nf)
         mu = jnp.sum(yf, axis=0, keepdims=True) / N
         var = jnp.sum(jnp.square(yf), axis=0, keepdims=True) / N \
@@ -324,7 +323,7 @@ def _bn_bwd(dout, yf, mu, var, gamma, N, nf):
 def _bwd_kernel(g_ref, xl_ref, ye_ref, y1_ref, y2_ref,
                 wb_ref, gb_ref, a_ref, mu_ref, var_ref,
                 dx0_ref, dw_ref, db_ref, dg_ref, dbt_ref, dal_ref,
-                x_halo, dx_buf, dy_halo, h_halo, xh_buf, da_buf,
+                x_halo, dx_buf, dy_halo, h_halo, xh_buf,
                 *, B, H, W, nf, n_blocks, cd):
     """gb_ref: (2L, nf) = concat([gamma, beta]). Every whole-batch
     intermediate is staged through a scratch ref immediately so the Mosaic
@@ -342,31 +341,31 @@ def _bwd_kernel(g_ref, xl_ref, ye_ref, y1_ref, y2_ref,
 
     def conv_wgrad(src_halo, li):
         """dW[li] += sum_b im2col(src_b)^T @ dy_b, dy read from dy_halo."""
-        def body(bimg, acc):
-            patch = _im2col(src_halo, bimg, H, W, nf, cd)
-            dyb = dy_halo[pl.ds(bimg, 1), 1:H + 1, 1:W + 1, :] \
-                .reshape(H * W, nf).astype(cd)
-            return acc + jax.lax.dot_general(
-                patch, dyb, (((0,), (0,)), ((), ())),
+        acc = jnp.zeros((9 * nf, nf), jnp.float32)
+        for b0, b1 in _chunks(B):
+            patch = _im2col_rows(src_halo, b0, b1, H, W, nf, cd)
+            dyf = dy_halo[b0:b1, 1:H + 1, 1:W + 1, :] \
+                .reshape((b1 - b0) * H * W, nf).astype(cd)
+            acc = acc + jax.lax.dot_general(
+                patch, dyf, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-
-        acc = jax.lax.fori_loop(0, B, body,
-                                jnp.zeros((9 * nf, nf), jnp.float32),
-                                unroll=False)
         dw_ref[pl.ds(li, 1)] = dw_ref[pl.ds(li, 1)] + acc[None]
 
-    def conv_data_into(dst_ref, li, accumulate):
+    def conv_data_into(dst_ref, li, accumulate, interior=False):
         w = wb_ref[li].astype(cd)
-
-        def body(bimg, carry):
-            d = _conv9_img(dy_halo, bimg, w, H, W, nf, cd) \
-                .reshape(1, H, W, nf)
-            if accumulate:
-                d = dst_ref[pl.ds(bimg, 1)].astype(jnp.float32) + d
-            dst_ref[pl.ds(bimg, 1)] = d.astype(dst_ref.dtype)
-            return carry
-
-        jax.lax.fori_loop(0, B, body, 0, unroll=False)
+        for b0, b1 in _chunks(B):
+            patch = _im2col_rows(dy_halo, b0, b1, H, W, nf, cd)
+            d = jnp.dot(patch, w, preferred_element_type=jnp.float32) \
+                .reshape(b1 - b0, H, W, nf)
+            if interior:
+                # in-place into dy_halo's interior: the patch for this
+                # chunk is materialized before the store, and each image's
+                # conv reads only its own rows, so there is no hazard
+                dst_ref[b0:b1, 1:H + 1, 1:W + 1, :] = d.astype(dst_ref.dtype)
+            else:
+                if accumulate:
+                    d = dst_ref[b0:b1].astype(jnp.float32) + d
+                dst_ref[b0:b1] = d.astype(dst_ref.dtype)
 
     @pl.when(i == 0)
     def _end_layer():
@@ -430,14 +429,17 @@ def _bwd_kernel(g_ref, xl_ref, ye_ref, y1_ref, y2_ref,
             bn1out >= 0, bn1out, alpha * bn1out
         ).reshape(B, H, W, nf).astype(h_halo.dtype)
 
-        # ---- stage 3/4: dW2 and the data grad into the PReLU ----
+        # ---- stage 3/4: dW2, then the data grad into the PReLU written
+        # over dy_halo's interior (dy2 is dead once both convs consumed it,
+        # and a separate da buffer pushed the kernel past the VMEM budget)
         conv_wgrad(h_halo, li2)
-        conv_data_into(da_buf, li2, accumulate=False)
+        conv_data_into(dy_halo, li2, accumulate=False, interior=True)
 
         # ---- stage 5: PReLU + BN1 backward (re-read stashed xhat1) ----
         xhat1 = xh_buf[...].astype(jnp.float32).reshape(N, nf)
         bn1out = gamma_row(li1) * xhat1 + beta_row(li1)
-        daf = da_buf[...].astype(jnp.float32).reshape(N, nf)
+        daf = dy_halo[:, 1:H + 1, 1:W + 1, :] \
+            .astype(jnp.float32).reshape(N, nf)
         neg = bn1out < 0
         dal_ref[pl.ds(k, 1)] = jnp.sum(
             jnp.where(neg, daf * bn1out, 0.0), axis=0, keepdims=True)
@@ -511,7 +513,6 @@ def _bwd_pallas(g, x_last, y_end, y1s, y2s, w_bwd, gamma_beta, alpha2d,
             pltpu.VMEM((B, H + 2, W + 2, nf), cd),            # dy_halo
             pltpu.VMEM((B, H + 2, W + 2, nf), cd),            # h_halo
             pltpu.VMEM((B, H, W, nf), cd),                    # xh_buf
-            pltpu.VMEM((B, H, W, nf), cd),                    # da_buf
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

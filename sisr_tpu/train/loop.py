@@ -239,7 +239,7 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
                     cfg, total_steps, k_steps=cfg.fused_steps,
                     d_active=key[0], g_adv_active=key[1], cont_kind=ck,
                     vgg_params=vgg_params, mask_g=mask_g,
-                    sched_step0=sched_step0)
+                    sched_step0=sched_step0, mesh=mesh)
             return fused_cache[key]
 
     def emit(i, epoch, m, idx=None):

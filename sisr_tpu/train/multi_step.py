@@ -38,11 +38,16 @@ def init_replay_state(cfg: TrainConfig, batch_shape, seed: int = 0):
 def make_multi_step(cfg: TrainConfig, total_steps: int, *, k_steps: int,
                     d_active: bool, g_adv_active: bool,
                     cont_kind: Optional[str], vgg_params=None, mask_g=None,
-                    sched_step0: int = 0):
+                    sched_step0: int = 0, mesh=None):
     """fused(ts, replay_state, hr_stack, hr_d_stack, weights) ->
     (ts, replay_state, metrics-stacked-over-K).
 
-    hr_stack / hr_d_stack: (K, B, H, W, C).
+    hr_stack / hr_d_stack: (K, B, H, W, C). With `mesh`, the driver runs
+    data-parallel under GSPMD: batches and the replay ring sharded on their
+    batch dim, train state replicated — the same recipe as
+    parallel.mesh.shard_train_step, composed with the K-step scan (the
+    reference's DataParallel applies to its production loop, config.py:
+    114-118, so the fused production driver must shard too).
     """
     inner = make_train_step(cfg, total_steps, d_active=d_active,
                             g_adv_active=g_adv_active, cont_kind=cont_kind,
@@ -88,4 +93,14 @@ def make_multi_step(cfg: TrainConfig, total_steps: int, *, k_steps: int,
                                      (hr_stack, hr_d_stack, w))
         return ts, rs, metrics
 
-    return jax.jit(fused, donate_argnums=(0, 1))
+    if mesh is None:
+        return jax.jit(fused, donate_argnums=(0, 1))
+
+    from sisr_tpu.parallel.mesh import batch_sharded, replicated
+    repl = replicated(mesh)
+    b1 = batch_sharded(mesh, 1)   # (K, B, ...) and (max_len, B, ...): dim 1
+    rs_shard = {"stack": b1, "n": repl, "key": repl, "it": repl}
+    return jax.jit(fused,
+                   in_shardings=(repl, rs_shard, b1, b1, repl),
+                   out_shardings=(repl, rs_shard, repl),
+                   donate_argnums=(0, 1))

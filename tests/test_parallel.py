@@ -68,3 +68,50 @@ def test_dp_step_matches_single_device(rng):
         # irrelevant. Everything else agrees far tighter.
         np.testing.assert_allclose(np.asarray(f1[p]), np.asarray(f8[p]),
                                    rtol=1e-3, atol=2.5 * 1e-3, err_msg=p)
+
+
+def test_dp_fused_driver_matches_single_device(rng):
+    """The fused K-step scan driver composed with the mesh: DP-fused must
+    match single-device-fused (the production path must not silently run
+    single-device, VERDICT r1 item 6)."""
+    import dataclasses
+    from sisr_tpu.train.multi_step import init_replay_state, make_multi_step
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(cfg, replay=ReplayConfig(max_len=10,
+                                                       sample_ratio=0.2))
+    hr_s, _ = cfg.geometry()
+    B, K = 8, 3
+    hrs = rng.uniform(-1, 1, (K, B, hr_s[1], hr_s[2], hr_s[0])) \
+        .astype(np.float32)
+    w = (jnp.float32(5e-2), jnp.float32(1.0), jnp.float32(10.0))
+
+    outs = []
+    for mesh in (None, make_mesh()):
+        ts = init_train_state(jax.random.PRNGKey(0), cfg)
+        rs = init_replay_state(cfg, (B, hr_s[1], hr_s[2], hr_s[0]))
+        fused = make_multi_step(cfg, 100, k_steps=K, d_active=True,
+                                g_adv_active=True, cont_kind="identity",
+                                mesh=mesh)
+        ts, rs, m = fused(ts, rs, jnp.asarray(hrs), jnp.asarray(hrs), w)
+        outs.append((ts, rs, m))
+
+    (ts1, rs1, m1), (ts8, rs8, m8) = outs
+    assert int(rs8["n"]) == K
+    # step 0 must agree tightly (same math, sharded); later steps only
+    # loosely — fp32 reduction-order noise is amplified by the chained GAN
+    # dynamics (param updates feed the next step's batch stats)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k][0]), float(m8[k][0]),
+                                   rtol=3e-3, atol=1e-4, err_msg=k)
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m8[k]),
+                                   rtol=8e-2, atol=1e-3, err_msg=k)
+    f1 = flatten_with_paths(ts1["params_g"])
+    f8 = flatten_with_paths(ts8["params_g"])
+    for p in f1:
+        np.testing.assert_allclose(np.asarray(f1[p]), np.asarray(f8[p]),
+                                   rtol=1e-2, atol=3 * K * 1e-3, err_msg=p)
+    # the replay ring itself must agree (fakes stored identically)
+    np.testing.assert_allclose(
+        np.asarray(rs1["stack"][:K], np.float32),
+        np.asarray(rs8["stack"][:K], np.float32), rtol=5e-2, atol=6e-2)
