@@ -100,39 +100,42 @@ def main():
 
     # inference timing: deploy-mode (BN/SN folded) jitted SR, chained
     # device-resident loop (output feeds a no-op perturbation of the input
-    # so calls can't be deduplicated), one device_get sync.
+    # so calls can't be deduplicated), one device_get sync. Both the XLA
+    # deploy path and the pallas-trunk variant are measured and the better
+    # one is reported (VERDICT r1 item 3); full variant sweep incl. the
+    # losing fused-upscale kernel: tools/bench_deploy_variants.py.
     from sisr_tpu.infer import make_deploy_fn
-    infer = make_deploy_fn(ts["params_g"], ts["state_g"], cfg.generator,
-                           compute_dtype=jnp.bfloat16)
 
-    @jax.jit
-    def infer_chained(x):
-        y = infer(x)
-        return x + (jnp.mean(y) * 0).astype(x.dtype)
+    def time_deploy(x0, iters, use_pallas_trunk):
+        infer = make_deploy_fn(ts["params_g"], ts["state_g"], cfg.generator,
+                               use_pallas_trunk=use_pallas_trunk,
+                               compute_dtype=jnp.bfloat16)
 
-    x = lr
-    for _ in range(5):
-        x = infer_chained(x)
-    _ = float(jnp.sum(x))
-    iters_i = 100
-    t0 = time.perf_counter()
-    for _ in range(iters_i):
-        x = infer_chained(x)
-    _ = float(jnp.sum(x))
-    infer_dt = (time.perf_counter() - t0) / iters_i
+        @jax.jit
+        def infer_chained(x):
+            y = infer(x)
+            return x + (jnp.mean(y) * 0).astype(x.dtype)
+
+        x = x0
+        for _ in range(5):
+            x = infer_chained(x)
+        _ = float(jnp.sum(x))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = infer_chained(x)
+        _ = float(jnp.sum(x))
+        return (time.perf_counter() - t0) / iters
+
+    dt_xla = time_deploy(lr, 100, False)
+    dt_pallas = time_deploy(lr, 100, True)
+    infer_dt = min(dt_xla, dt_pallas)
+    infer_kind = "pallas_trunk" if dt_pallas < dt_xla else "xla"
     infer_mps = mp_per_batch / infer_dt
 
-    # serving throughput at batch 64 (amortizes the per-dispatch floor)
+    # serving throughput at batch 64 (amortizes the per-dispatch floor);
+    # XLA wins at this batch (tools/bench_deploy_variants.py)
     lr64 = jnp.tile(lr, (4, 1, 1, 1))
-    x = lr64
-    for _ in range(3):
-        x = infer_chained(x)
-    _ = float(jnp.sum(x))
-    t0 = time.perf_counter()
-    for _ in range(50):
-        x = infer_chained(x)
-    _ = float(jnp.sum(x))
-    infer64_mps = 4 * mp_per_batch / ((time.perf_counter() - t0) / 50)
+    infer64_mps = 4 * mp_per_batch / time_deploy(lr64, 50, False)
 
     result = {
         "metric": "celeba_x4_train_mps_per_chip",
@@ -144,6 +147,8 @@ def main():
             "infer_mps": round(infer_mps, 3),
             "infer_mps_b64": round(infer64_mps, 3),
             "infer_ms_per_batch": round(infer_dt * 1e3, 3),
+            "infer_kind": infer_kind,
+            "infer_mps_xla": round(mp_per_batch / dt_xla, 3),
             "infer_vs_baseline": round(infer_mps / REF_A100_INFER_MPS, 3),
             "batch": batch,
             "hr": hr_s,
