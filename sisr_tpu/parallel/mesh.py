@@ -70,6 +70,17 @@ def shard_batch(mesh: Mesh, batch):
     return jax.device_put(batch, batch_sharded(mesh))
 
 
+def shard_infer_fn(fn, mesh: Mesh):
+    """Batch-parallel serving: wrap an UNJITTED x -> sr function (e.g.
+    infer.deploy_apply closed over folded params) so the batch shards over
+    the mesh and each device runs its slice — the inference analog of the
+    reference wrapping net_g in DataParallel for visualisation
+    (config.py:114-118). Params inside `fn`'s closure are replicated by
+    GSPMD on first use."""
+    b0 = batch_sharded(mesh, 0)
+    return jax.jit(fn, in_shardings=(b0,), out_shardings=b0)
+
+
 def shard_train_step(step_fn, mesh: Mesh, donate: bool = True):
     """Wrap an *unjitted* train step (sisr_tpu.train.step.make_train_step
     with jit=False) with data-parallel shardings.

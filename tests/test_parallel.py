@@ -115,3 +115,25 @@ def test_dp_fused_driver_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(rs1["stack"][:K], np.float32),
         np.asarray(rs8["stack"][:K], np.float32), rtol=5e-2, atol=6e-2)
+
+
+def test_sharded_deploy_inference_matches_single(rng):
+    """Batch-parallel serving: the folded deploy fn sharded over the mesh
+    must reproduce the single-device output (inference analog of the
+    reference's DataParallel wrap, config.py:114-118)."""
+    from sisr_tpu.infer import deploy_apply, fold_generator
+    from sisr_tpu.models.generator import generator_init
+    from sisr_tpu.parallel import shard_infer_fn
+
+    gcfg = GeneratorConfig(n_blocks=2, n_features_block=8, n_features_last=16)
+    params, state = generator_init(jax.random.PRNGKey(0), gcfg)
+    fp, _ = fold_generator(params, state, gcfg)
+    fn = lambda x: deploy_apply(fp, x, gcfg)  # noqa: E731
+
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 12, 12, 3)).astype(np.float32))
+    y1 = jax.jit(fn)(x)
+    mesh = make_mesh()
+    y8 = shard_infer_fn(fn, mesh)(shard_batch(mesh, x))
+    assert "data" in str(y8.sharding.spec)
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
