@@ -102,3 +102,20 @@ def test_fold_generator_matches_eval(rng):
     y_fold, _ = generator_apply(fp, fs, x, train=False, cfg=gen_cfg)
     np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_tiled_sr_with_deploy_override(rng):
+    """--tiled --deploy composition: a folded deploy fn passed as `fwd`
+    must reproduce the eval-mode tiled result (both use running stats)."""
+    from sisr_tpu.infer import make_deploy_fn
+
+    gen_cfg = GeneratorConfig(n_blocks=2, n_features_block=8,
+                              n_features_last=16)
+    params, state = generator_init(jax.random.PRNGKey(0), gen_cfg)
+    img = rng.uniform(-1, 1, (48, 40, 3)).astype(np.float32)
+
+    tiled_eval = tiled_sr(params, state, img, gen_cfg, tile=32, tile_batch=4)
+    deploy = make_deploy_fn(params, state, gen_cfg)
+    tiled_dep = tiled_sr(params, state, img, gen_cfg, tile=32, tile_batch=4,
+                         fwd=lambda p, s, x: deploy(x))
+    np.testing.assert_allclose(tiled_dep, tiled_eval, rtol=1e-3, atol=1e-4)
