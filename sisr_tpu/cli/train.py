@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--freeze-end", action="store_true")
     ap.add_argument("--unsupervised", action="store_true",
                     help="content loss on LR (AmbientGAN mode)")
+    ap.add_argument("--ramp-epoch", type=int, default=None,
+                    help="x4_ramp only: epoch at which the adversarial + "
+                         "content windows open (identity-MSE before; the "
+                         "reference's editable-window recipe, README.md:55)")
     ap.add_argument("--vgg-weights", default=None,
                     help=".npz from tools/port_vgg_weights.py")
     ap.add_argument("--compute-dtype", default=None,
@@ -72,6 +76,8 @@ def config_from_args(args) -> C.TrainConfig:
         kw["dataset"] = args.dataset
     if args.preset == "x8":
         cfg = C.PRESETS[args.preset](unsupervised=args.unsupervised, **kw)
+    elif args.preset == "x4_ramp" and args.ramp_epoch is not None:
+        cfg = C.PRESETS[args.preset](ramp_epoch=args.ramp_epoch, **kw)
     else:
         cfg = C.PRESETS[args.preset](**kw)
 

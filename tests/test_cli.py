@@ -48,6 +48,17 @@ def test_ramp_preset_windows():
     assert cfg.scale_factor == 4
 
 
+def test_ramp_epoch_flag_moves_windows():
+    cfg = _cfg(["--preset", "x4_ramp", "--ramp-epoch", "3"])
+    assert cfg.windows.identity == (0, 3)
+    assert cfg.windows.adv_g == (3, INF)
+    assert cfg.windows.adv_d == (3, INF)
+    assert cfg.windows.content == (3, INF)
+    # the knob belongs to x4_ramp only; other presets ignore it
+    cfg2 = _cfg(["--preset", "x2_mse", "--ramp-epoch", "3"])
+    assert cfg2.windows.identity == (0, INF)
+
+
 def test_no_sn_flag():
     cfg = _cfg(["--no-sn"])
     assert not cfg.generator.use_sn

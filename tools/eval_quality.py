@@ -1,0 +1,101 @@
+"""Quality evaluation for a trained checkpoint: SR vs the bicubic-upscale
+baseline on (a) the held-out test batch (the last `batch_size` dataset
+images, the reference's test split — config.py:271-272) and (b) a batch of
+*fresh* synthetic images the training never saw (indices past the training
+set's range; the synthetic dataset is deterministic per index).
+
+Reports PSNR/SSIM for the train-mode-BN forward (the reference's eval
+convention — visualisation.py never calls .eval()) and for the folded
+deploy path (the serving path). Prints one JSON line per split.
+
+Usage:
+  python tools/eval_quality.py --checkpoint quality_runs/x2/0 \
+      --n-suffixes 0 --synthetic-len 2048
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--n-suffixes", type=int, default=0)
+    ap.add_argument("--dataset", default="synthetic")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--synthetic-len", type=int, default=2048,
+                    help="training dataset length (held-out batch = its "
+                         "last batch_size images)")
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--fresh-n", type=int, default=64,
+                    help="synthetic only: images at unseen indices")
+    ap.add_argument("--label", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from sisr_tpu import config as C
+    from sisr_tpu.checkpoint import load_checkpoint, transplant
+    from sisr_tpu.config import GeneratorConfig
+    from sisr_tpu.data.pipeline import SyntheticDataset, make_dataset
+    from sisr_tpu.infer import make_deploy_fn, make_sr_fn
+    from sisr_tpu.metrics import psnr, ssim
+    from sisr_tpu.models.generator import generator_init
+    from sisr_tpu.ops.resize import bicubic_resize, lr_from_hr
+
+    gen_cfg = GeneratorConfig(n_suffixes=args.n_suffixes)
+    scale = gen_cfg.scale
+    hr_s, lr_s = C.resolve_geometry(args.dataset, scale)
+
+    params, state = generator_init(jax.random.PRNGKey(0), gen_cfg)
+    ckpt = load_checkpoint(args.checkpoint)
+    if not ckpt:
+        raise SystemExit(f"cannot read checkpoint {args.checkpoint}")
+    params, rep = transplant(params, ckpt["net_g"]["params"])
+    state, _ = transplant(state, ckpt["net_g"]["state"])
+    if rep.coverage < 1.0:
+        print(f"[warn] transplant coverage {100 * rep.coverage:.1f}% — "
+              "checkpoint architecture may not match --n-suffixes")
+
+    sr_train_bn = make_sr_fn(gen_cfg, compute_dtype=jnp.bfloat16)
+    deploy = make_deploy_fn(params, state, gen_cfg, compute_dtype=jnp.bfloat16)
+
+    def batches(name):
+        ds = make_dataset(args.dataset, args.data_root, hr_s,
+                          args.synthetic_len)
+        held = np.stack([ds[i] for i in
+                         range(len(ds) - args.batch_size, len(ds))])
+        yield "heldout", held
+        if args.dataset == "synthetic" and args.fresh_n > 0:
+            fresh_ds = SyntheticDataset(hr_s, args.synthetic_len + args.fresh_n)
+            fresh = np.stack([fresh_ds[i] for i in
+                              range(args.synthetic_len,
+                                    args.synthetic_len + args.fresh_n)])
+            yield "fresh", fresh
+
+    label = args.label or os.path.basename(os.path.dirname(args.checkpoint))
+    for split, hr in batches(args.dataset):
+        hr_j = jnp.asarray(hr)
+        lr = lr_from_hr(hr_j, (lr_s[1], lr_s[2]))
+        bic = bicubic_resize(lr, (hr_s[1], hr_s[2]))
+        out = {"label": label, "split": split, "scale": scale,
+               "n": int(hr.shape[0])}
+        for name, sr in [("sr", sr_train_bn(params, state, lr)),
+                         ("deploy", deploy(lr)),
+                         ("bicubic", bic)]:
+            out[f"psnr_{name}"] = round(float(psnr(sr, hr_j)), 3)
+            out[f"ssim_{name}"] = round(float(ssim(sr, hr_j)), 4)
+        out["beats_bicubic"] = bool(out["psnr_sr"] > out["psnr_bicubic"])
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
