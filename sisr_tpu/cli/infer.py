@@ -105,5 +105,11 @@ def main(argv=None):
             "psnr_bicubic": float(np.mean(psnrs_bicubic))}
 
 
+def cli(argv=None) -> int:
+    """Console-script entry point (see cli/train.py:cli)."""
+    main(argv)
+    return 0
+
+
 if __name__ == "__main__":
     main()

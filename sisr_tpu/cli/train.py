@@ -151,5 +151,13 @@ def main(argv=None):
     return result
 
 
+def cli(argv=None) -> int:
+    """Console-script entry point: `main` returns the TrainResult for
+    programmatic use, which `sys.exit` would misinterpret as an error
+    message — swallow it here."""
+    main(argv)
+    return 0
+
+
 if __name__ == "__main__":
     main()
