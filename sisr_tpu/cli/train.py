@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--freeze-end", action="store_true")
     ap.add_argument("--unsupervised", action="store_true",
                     help="content loss on LR (AmbientGAN mode)")
+    ap.add_argument("--pixel-content", action="store_true",
+                    help="x2_gan/progressive presets: use the identity "
+                         "(pixel-MSE) content window instead of VGG — the "
+                         "reference's own extractor substitution "
+                         "(config.py:100-104)")
     ap.add_argument("--ramp-epoch", type=int, default=None,
                     help="x4_ramp only: epoch at which the adversarial + "
                          "content windows open (identity-MSE before; the "
@@ -78,6 +83,8 @@ def config_from_args(args) -> C.TrainConfig:
         cfg = C.PRESETS[args.preset](unsupervised=args.unsupervised, **kw)
     elif args.preset == "x4_ramp" and args.ramp_epoch is not None:
         cfg = C.PRESETS[args.preset](ramp_epoch=args.ramp_epoch, **kw)
+    elif args.preset in ("x2_gan", "progressive_x2_x4") and args.pixel_content:
+        cfg = C.PRESETS[args.preset](pixel_content=True, **kw)
     else:
         cfg = C.PRESETS[args.preset](**kw)
 

@@ -289,12 +289,25 @@ def preset_x2_mse(dataset: str = "celeba", **kw) -> TrainConfig:
     )
 
 
-def preset_x2_gan(dataset: str = "celeba", **kw) -> TrainConfig:
-    """Config 2: x2 full adversarial G + D + MaskedVGG content loss."""
+def preset_x2_gan(dataset: str = "celeba", pixel_content: bool = False,
+                  **kw) -> TrainConfig:
+    """Config 2: x2 full adversarial G + D + MaskedVGG content loss.
+
+    `pixel_content=True` swaps the VGG content window for the identity
+    (plain pixel MSE) window — the reference's own substitution for data
+    the pretrained extractor can't serve (config.py:100-104 does exactly
+    this for 1-channel inputs). The practical use here: adversarial
+    finetuning that keeps a pixel anchor when no pretrained VGG19 weights
+    are available (see BENCH_NOTES on the zero-egress environment).
+    """
+    windows = (
+        LossWindows(content=(0, 0), identity=(0, INF))
+        if pixel_content else LossWindows()
+    )
     return TrainConfig(
         dataset=dataset,
         generator=GeneratorConfig(list_scales=(2,), n_suffixes=0),
-        windows=LossWindows(),
+        windows=windows,
         **kw,
     )
 
@@ -313,13 +326,20 @@ def preset_x4_ramp(dataset: str = "flickr", ramp_epoch: int = 1, **kw) -> TrainC
     )
 
 
-def preset_progressive_x2_to_x4(dataset: str = "celeba", **kw) -> TrainConfig:
+def preset_progressive_x2_to_x4(dataset: str = "celeba",
+                                pixel_content: bool = False,
+                                **kw) -> TrainConfig:
     """Config 4: progressive growth — load an x2 checkpoint, add one suffix,
-    finetune (reference progressive_gan_suffix=1, config.py:18-21,94-96)."""
+    finetune (reference progressive_gan_suffix=1, config.py:18-21,94-96).
+    `pixel_content` as in preset_x2_gan."""
+    windows = (
+        LossWindows(content=(0, 0), identity=(0, INF))
+        if pixel_content else LossWindows()
+    )
     return TrainConfig(
         dataset=dataset,
         generator=GeneratorConfig(list_scales=(2,), n_suffixes=1),
-        windows=LossWindows(),
+        windows=windows,
         **kw,
     )
 

@@ -257,6 +257,38 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
         losses["D"].append(get("errD"))
         losses["cont"].append(get("errG_cont"))
 
+    # Device-resident test batch: the epoch-end metrics and snapshots reuse
+    # these every epoch; re-uploading them each time costs ~100 ms/epoch of
+    # H2D through the remote relay (~150 MB/s).
+    test_lr_dev = jnp.asarray(test_lr)
+    test_hr_dev = jnp.asarray(test_hr)
+
+    # Lazy metric pipeline. Through the remote relay each device_get drains
+    # the dispatch queue, so fetching metrics right after every fused call
+    # serializes the next chunk's H2D behind the current chunk's compute
+    # (~2-8x wall-clock on long runs). Keeping a bounded backlog of
+    # un-fetched metric pytrees lets the host run ahead and overlap uploads
+    # with device compute; prints/loss-history order is preserved, lines
+    # just appear up to METRIC_LAG_CHUNKS*K steps late.
+    METRIC_LAG_CHUNKS = 4
+    pending: List = []           # (epoch, [step indices], device metrics)
+    rs_live = None               # replay scan-state threaded across chunks
+
+    def flush_pending(force: bool = False):
+        while pending and (force or len(pending) > METRIC_LAG_CHUNKS):
+            ep, idxs, m = pending.pop(0)
+            m_host = jax.device_get(m)
+            for k, i in enumerate(idxs):
+                emit(i, ep, m_host, idx=k)
+
+    def sync_buf():
+        # re-materialize the replay ring object from the threaded scan-state
+        # before any non-fused use of `buf` (partial chunks, persistence)
+        nonlocal rs_live
+        if rs_live is not None:
+            buf.load_scan_state(rs_live)
+            rs_live = None
+
     t0 = time.time()
     it_global = 0
     p = s = float("nan")
@@ -285,21 +317,27 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
             emit(i, epoch, jax.device_get(m))
 
         def flush_chunk(epoch):
-            nonlocal ts, it_global, chunk
+            nonlocal ts, it_global, chunk, rs_live
             if not chunk:
                 return
             if len(chunk) == cfg.fused_steps:
                 fused = get_fused(epoch)
                 hr_stack = jnp.asarray(np.stack([c[1] for c in chunk]))
-                hrd_stack = jnp.asarray(np.stack([c[2] for c in chunk]))
-                rs = buf.as_scan_state(it_global)
-                ts, rs, m = fused(ts, rs, hr_stack, hrd_stack, weights)
-                buf.load_scan_state(rs)
-                m_host = jax.device_get(m)
-                for k, (i, _, _) in enumerate(chunk):
-                    emit(i, epoch, m_host, idx=k)
+                if all(c[2] is c[1] for c in chunk):
+                    # supervised mode: hr_d IS hr (data/pipeline._Paired) —
+                    # don't upload the same 25 MB stack twice
+                    hrd_stack = hr_stack
+                else:
+                    hrd_stack = jnp.asarray(np.stack([c[2] for c in chunk]))
+                rs = rs_live if rs_live is not None \
+                    else buf.as_scan_state(it_global)
+                ts, rs_live, m = fused(ts, rs, hr_stack, hrd_stack, weights)
+                pending.append((epoch, [i for i, _, _ in chunk], m))
+                flush_pending()
                 it_global += len(chunk)
             else:  # leftover partial chunk: per-step path
+                flush_pending(force=True)  # keep print/history order
+                sync_buf()
                 for i, hr, hr_d in chunk:
                     run_single(hr, hr_d, i, epoch)
             chunk = []
@@ -310,8 +348,8 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
             # extra pre-training snapshot
             if i == n_batch - 1 or (plot_first and epoch == 0 and i == 0):
                 flush_chunk(epoch)
-                img_list.append(snapshot(infer_fn, ts, test_lr, test_hr,
-                                         plot_usr))
+                img_list.append(snapshot(infer_fn, ts, test_lr_dev,
+                                         test_hr_dev, plot_usr))
                 if i == n_batch - 1:
                     break  # reference skips training the snapshot batch
 
@@ -322,14 +360,16 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
             else:
                 run_single(hr, hr_d, i, epoch)
         flush_chunk(epoch)
+        flush_pending(force=True)
 
         # epoch-end quality metrics (not in reference; README.md:88 TODO)
-        sr_test = infer_fn(ts["params_g"], ts["state_g"], jnp.asarray(test_lr))
-        p = float(psnr(sr_test, jnp.asarray(test_hr)))
-        s = float(ssim(sr_test, jnp.asarray(test_hr)))
+        sr_test = infer_fn(ts["params_g"], ts["state_g"], test_lr_dev)
+        p = float(psnr(sr_test, test_hr_dev))
+        s = float(ssim(sr_test, test_hr_dev))
         if verbose:
             print(f"[epoch {epoch}] test PSNR {p:.2f} dB  SSIM {s:.4f}")
 
+    sync_buf()
     if verbose:
         print("train loop in", time.time() - t0)
 

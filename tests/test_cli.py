@@ -59,6 +59,15 @@ def test_ramp_epoch_flag_moves_windows():
     assert cfg2.windows.identity == (0, INF)
 
 
+def test_pixel_content_flag_swaps_windows():
+    cfg = _cfg(["--preset", "x2_gan", "--pixel-content"])
+    assert cfg.windows.content == (0, 0)
+    assert cfg.windows.identity == (0, INF)
+    assert cfg.windows.adv_g == (0, INF)
+    cfg2 = _cfg(["--preset", "progressive_x2_x4", "--pixel-content"])
+    assert cfg2.windows.identity == (0, INF)
+
+
 def test_no_sn_flag():
     cfg = _cfg(["--no-sn"])
     assert not cfg.generator.use_sn

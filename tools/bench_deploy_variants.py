@@ -43,6 +43,14 @@ def chained_time(fn, x0, iters, warm=5):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+", default=[16, 64],
+                    help="serving batch sizes to sweep")
+    ap.add_argument("--variants", nargs="+",
+                    default=["xla", "trunk", "upscale", "both"])
+    args = ap.parse_args()
+
     cfg = preset_x2_gan("celeba")
     cfg = dataclasses.replace(
         cfg, generator=dataclasses.replace(cfg.generator, n_suffixes=1))
@@ -51,17 +59,20 @@ def main():
     rng = np.random.default_rng(0)
 
     results = {}
-    for batch in (16, 64):
+    for batch in args.batches:
         lr = jnp.asarray(
             rng.uniform(-1, 1, (batch, lr_s[1], lr_s[2], lr_s[0]))
             .astype(np.float32))
         mp = batch * hr_s[1] * hr_s[2] / 1e6
-        for name, (pt, pu) in {
+        all_variants = {
             "xla": (False, False),
             "trunk": (True, False),
             "upscale": (False, True),
             "both": (True, True),
-        }.items():
+        }
+        for name, (pt, pu) in all_variants.items():
+            if name not in args.variants:
+                continue
             fn = make_deploy_fn(params, state, cfg.generator,
                                 use_pallas_trunk=pt, use_pallas_upscale=pu,
                                 compute_dtype=jnp.bfloat16)
