@@ -271,15 +271,19 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
     # with device compute; prints/loss-history order is preserved, lines
     # just appear up to METRIC_LAG_CHUNKS*K steps late.
     METRIC_LAG_CHUNKS = 4
-    pending: List = []           # (epoch, [step indices], device metrics)
+    # (epoch, [step indices], device metrics, stacked-over-K?)
+    pending: List = []
     rs_live = None               # replay scan-state threaded across chunks
 
     def flush_pending(force: bool = False):
         while pending and (force or len(pending) > METRIC_LAG_CHUNKS):
-            ep, idxs, m = pending.pop(0)
+            ep, idxs, m, stacked = pending.pop(0)
             m_host = jax.device_get(m)
-            for k, i in enumerate(idxs):
-                emit(i, ep, m_host, idx=k)
+            if stacked:
+                for k, i in enumerate(idxs):
+                    emit(i, ep, m_host, idx=k)
+            else:
+                emit(idxs[0], ep, m_host)
 
     def sync_buf():
         # re-materialize the replay ring object from the threaded scan-state
@@ -300,7 +304,9 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
         def run_single(hr, hr_d, i, epoch):
             nonlocal ts, it_global
             stack, mask = buf.sample()
-            ts, fake, m = step_fn(ts, jnp.asarray(hr), jnp.asarray(hr_d),
+            hr_dev = jnp.asarray(hr)
+            hrd_dev = hr_dev if hr_d is hr else jnp.asarray(hr_d)
+            ts, fake, m = step_fn(ts, hr_dev, hrd_dev,
                                   jnp.asarray(stack), jnp.asarray(mask),
                                   weights)
             # fakes enter the replay ring only while D updates run — the
@@ -314,7 +320,8 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
                                 np.asarray(fake) if cfg.replay.host_offload
                                 else fake)
             it_global += 1
-            emit(i, epoch, jax.device_get(m))
+            pending.append((epoch, [i], m, False))
+            flush_pending()
 
         def flush_chunk(epoch):
             nonlocal ts, it_global, chunk, rs_live
@@ -332,11 +339,10 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
                 rs = rs_live if rs_live is not None \
                     else buf.as_scan_state(it_global)
                 ts, rs_live, m = fused(ts, rs, hr_stack, hrd_stack, weights)
-                pending.append((epoch, [i for i, _, _ in chunk], m))
+                pending.append((epoch, [i for i, _, _ in chunk], m, True))
                 flush_pending()
                 it_global += len(chunk)
             else:  # leftover partial chunk: per-step path
-                flush_pending(force=True)  # keep print/history order
                 sync_buf()
                 for i, hr, hr_d in chunk:
                     run_single(hr, hr_d, i, epoch)

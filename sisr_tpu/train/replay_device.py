@@ -52,12 +52,20 @@ def replay_sample(stack, n, key, r: int, ratio: float):
 
 @functools.partial(jax.jit, static_argnames=("max_len",), donate_argnums=(0,))
 def _store(stack, n, key, fake, *, max_len):
-    return replay_store(stack, n, key, fake, max_len)
+    # key split happens inside the jitted call: an eager jax.random.split
+    # is a full remote-dispatch round trip (~tens of ms) per train step
+    # through the relay runtime. Same (split -> use second) sequence as the
+    # previous host-side split, so stored values are unchanged.
+    key, k = jax.random.split(key)
+    stack, n = replay_store(stack, n, k, fake, max_len)
+    return stack, n, key
 
 
 @functools.partial(jax.jit, static_argnames=("r", "ratio"))
 def _sample(stack, n, key, *, r, ratio):
-    return replay_sample(stack, n, key, r, ratio)
+    key, k = jax.random.split(key)
+    sampled, mask = replay_sample(stack, n, k, r, ratio)
+    return sampled, mask, key
 
 
 class DeviceReplayBuffer:
@@ -79,15 +87,13 @@ class DeviceReplayBuffer:
     def maybe_store(self, iteration: int, fake) -> None:
         if self.cfg.max_len == 0 or iteration % self.cfg.save_freq != 0:
             return
-        self._key, k = jax.random.split(self._key)
-        self._stack, self._n = _store(self._stack, self._n, k, fake,
-                                      max_len=self.cfg.max_len)
+        self._stack, self._n, self._key = _store(
+            self._stack, self._n, self._key, fake, max_len=self.cfg.max_len)
 
     def sample(self):
         r = max(self.cfg.max_samples, 1)
-        self._key, k = jax.random.split(self._key)
-        sampled, mask = _sample(self._stack, self._n, k, r=r,
-                                ratio=self.cfg.sample_ratio)
+        sampled, mask, self._key = _sample(self._stack, self._n, self._key,
+                                           r=r, ratio=self.cfg.sample_ratio)
         if self.cfg.max_samples == 0:
             return sampled[:0], mask[:0]
         return sampled, mask
