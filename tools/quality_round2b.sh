@@ -19,10 +19,12 @@ run() {
 # 1. x4 continuation: x4_v2 plateaued at ~28.6 dB once its LR decayed; a
 #    second leg at lower base LR (the reference's finetune recipe: each run
 #    restarts the 10x decay, config.py:170-180) squeezes the plateau.
-run x4_v3 --preset x2_mse --progressive-suffix 1 \
+#    suffix=2 = "load x4": wrap the suffix BEFORE load so the architecture
+#    matches the already-grown checkpoint (reference config.py:83-88).
+run x4_v3 --preset x2_mse --progressive-suffix 2 \
   --checkpoint quality_runs/x4_v2/0 \
   --dataset synthetic --synthetic-len 8192 --batch-size 16 \
-  --num-epochs 160 --lr 5e-5 --seed 52 --fused-steps 8
+  --num-epochs 40 --lr 5e-5 --seed 52 --fused-steps 8
 
 # 2. x4 from-scratch MSE at x4_v2's data size, ~equal total wall-clock to
 #    the x2-pretrain + x4-finetune pair: the comparison row for the
@@ -36,14 +38,15 @@ run x4_scratch --preset x2_mse --progressive-suffix 1 \
 run x8_prog --preset x2_mse --progressive-suffix 3 \
   --checkpoint quality_runs/x4_v3/0 \
   --dataset synthetic --synthetic-len 2048 --batch-size 16 \
-  --num-epochs 240 --lr 2e-4 --seed 49 --fused-steps 8
+  --num-epochs 80 --lr 2e-4 --seed 49 --fused-steps 8
 
-# 4. x4 adversarial ramp (canonical config 3): resume the x4 model,
-#    1 identity epoch then adversarial+content from the next epoch.
+# 4. x4 adversarial ramp (canonical config 3): resume the x4 model at
+#    epoch 160, 1 identity epoch then adversarial+content from epoch 161
+#    (num-epochs counts THIS run's epochs; windows are absolute epochs).
 run x4_ramp --preset x4_ramp --ramp-epoch 161 \
   --checkpoint quality_runs/x4_v3/0 \
   --dataset synthetic --synthetic-len 8192 --batch-size 16 \
-  --num-epochs 164 --seed 50
+  --num-epochs 4 --seed 50
 
 # 5. x8 unsupervised (no-HR / AmbientGAN, canonical config 5): from scratch,
 #    disjoint dataset halves, content loss on LR.
