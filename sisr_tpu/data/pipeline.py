@@ -39,23 +39,30 @@ IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp", ".ppm"}
 class SyntheticDataset:
     """Procedural smooth random textures, deterministic per index."""
 
+    # cap host memory spent on memoized images (fp32 HWC: a 128x128x3 image
+    # is ~196 KB, so 2 GB holds ~10k images — past the cap, extra indices
+    # regenerate each access instead of growing RSS unboundedly)
+    CACHE_BYTES_MAX = 2 << 30
+
     def __init__(self, hr_size: Tuple[int, int, int], length: int = 512):
         self.c, self.h, self.w = hr_size
         self.length = length
         self._cache: dict = {}
+        self._cache_max = max(
+            1, self.CACHE_BYTES_MAX // (4 * self.c * self.h * self.w))
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, i: int) -> np.ndarray:
         # memoize: procedural generation costs ~2.6 ms/image, which
-        # dominates long training runs (deterministic per index, ~50 KB
-        # per 64x64 image, so even 4k-image sets cache in ~200 MB)
+        # dominates long training runs (deterministic per index)
         hit = self._cache.get(i)
         if hit is not None:
             return hit
         out = self._generate(i)
-        self._cache[i] = out
+        if len(self._cache) < self._cache_max:
+            self._cache[i] = out
         return out
 
     def _generate(self, i: int) -> np.ndarray:

@@ -6,7 +6,6 @@ import dataclasses
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -48,19 +47,14 @@ def main():
         probs = jax.nn.sigmoid(d_out)
         return jnp.sum(jnp.mean(probs, axis=1) * smask)
 
+    from _bench_util import chain_timed
+
     for fuse in (False, True):
         D.FUSE_STEM = fuse
-        vg = jax.jit(jax.value_and_grad(d_loss))
-        out = None
-        for _ in range(3):
-            out = vg(params, slots)
-        _ = float(out[0])
-        iters = 20
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = vg(params, slots)
-        _ = float(out[0])
-        dt = (time.perf_counter() - t0) / iters
+        # chained through the slots stack (tools/_bench_util): grads are in
+        # the outputs (no DCE) and calls are serially dependent (no dedup)
+        dt = chain_timed(jax.value_and_grad(d_loss), params, slots,
+                         iters=20, chain_arg=1)
         print(json.dumps({f"d_update_ms_fuse_{fuse}": round(dt * 1e3, 3)}),
               flush=True)
 

@@ -5,7 +5,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -15,20 +14,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from sisr_tpu.nn.layers import depth_to_space2_phases
+from _bench_util import chain_timed
 
 
 def timed(f, *args, iters=30, warm=3):
-    jf = jax.jit(f)
-    out = None
-    for _ in range(warm):
-        out = jf(*args)
-    jax.block_until_ready(out)
-    _ = float(jnp.sum(out))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jf(*args)
-    _ = float(jnp.sum(out))
-    return round((time.perf_counter() - t0) / iters * 1e3, 3)
+    # chained harness: no relay dedup/pipelining, no DCE (tools/_bench_util)
+    return round(chain_timed(f, *args, iters=iters, warm=warm) * 1e3, 3)
 
 
 def main():

@@ -6,7 +6,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -16,6 +15,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from sisr_tpu.nn.layers import _s2d_kernel_stride2, space_to_depth2
+from _bench_util import chain_timed
 
 
 def native(x, w):
@@ -32,17 +32,8 @@ def s2d(x, w):
 
 
 def timed(f, *args, iters=30, warm=3):
-    jf = jax.jit(f)
-    out = None
-    for _ in range(warm):
-        out = jf(*args)
-    jax.block_until_ready(out)
-    _ = float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jf(*args)
-    _ = float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
-    return (time.perf_counter() - t0) / iters * 1e3
+    # chained harness: no relay dedup/pipelining, no DCE (tools/_bench_util)
+    return chain_timed(f, *args, iters=iters, warm=warm) * 1e3
 
 
 def main():
