@@ -48,7 +48,8 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[16, 64],
                     help="serving batch sizes to sweep")
     ap.add_argument("--variants", nargs="+",
-                    default=["xla", "trunk", "upscale", "both"])
+                    default=["xla", "trunk", "upscale", "both", "int8",
+                             "int8_fp_ends"])
     args = ap.parse_args()
 
     cfg = preset_x2_gan("celeba")
@@ -70,12 +71,21 @@ def main():
             "upscale": (False, True),
             "both": (True, True),
         }
-        for name, (pt, pu) in all_variants.items():
-            if name not in args.variants:
-                continue
-            fn = make_deploy_fn(params, state, cfg.generator,
-                                use_pallas_trunk=pt, use_pallas_upscale=pu,
-                                compute_dtype=jnp.bfloat16)
+        for name in args.variants:
+            if name in all_variants:
+                pt, pu = all_variants[name]
+                fn = make_deploy_fn(params, state, cfg.generator,
+                                    use_pallas_trunk=pt,
+                                    use_pallas_upscale=pu,
+                                    compute_dtype=jnp.bfloat16)
+            elif name.startswith("int8"):
+                from sisr_tpu.quant import make_deploy_fn_int8
+                keep = (frozenset({"stem", "end", "upscale"})
+                        if name == "int8_fp_ends" else frozenset())
+                fn = make_deploy_fn_int8(params, state, cfg.generator,
+                                         keep_fp=keep)
+            else:
+                raise SystemExit(f"unknown variant {name}")
             dt = chained_time(fn, lr, iters=60)
             results[f"b{batch}_{name}"] = {
                 "ms_per_batch": round(dt * 1e3, 3),

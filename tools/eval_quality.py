@@ -37,6 +37,8 @@ def main(argv=None):
     ap.add_argument("--fresh-n", type=int, default=64,
                     help="synthetic only: images at unseen indices")
     ap.add_argument("--label", default=None)
+    ap.add_argument("--quant", action="store_true",
+                    help="also evaluate the int8 quantized deploy path")
     args = ap.parse_args(argv)
 
     import jax
@@ -67,6 +69,10 @@ def main(argv=None):
 
     sr_train_bn = make_sr_fn(gen_cfg, compute_dtype=jnp.bfloat16)
     deploy = make_deploy_fn(params, state, gen_cfg, compute_dtype=jnp.bfloat16)
+    deploy_q = None
+    if args.quant:
+        from sisr_tpu.quant import make_deploy_fn_int8
+        deploy_q = make_deploy_fn_int8(params, state, gen_cfg)
 
     def batches(name):
         ds = make_dataset(args.dataset, args.data_root, hr_s,
@@ -88,9 +94,12 @@ def main(argv=None):
         bic = bicubic_resize(lr, (hr_s[1], hr_s[2]))
         out = {"label": label, "split": split, "scale": scale,
                "n": int(hr.shape[0])}
-        for name, sr in [("sr", sr_train_bn(params, state, lr)),
-                         ("deploy", deploy(lr)),
-                         ("bicubic", bic)]:
+        variants = [("sr", sr_train_bn(params, state, lr)),
+                    ("deploy", deploy(lr)),
+                    ("bicubic", bic)]
+        if deploy_q is not None:
+            variants.append(("int8", deploy_q(lr)))
+        for name, sr in variants:
             out[f"psnr_{name}"] = round(float(psnr(sr, hr_j)), 3)
             out[f"ssim_{name}"] = round(float(ssim(sr, hr_j)), 4)
         out["beats_bicubic"] = bool(out["psnr_sr"] > out["psnr_bicubic"])

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-2 closing measurements, run on the real chip after the quality
+# waves finish (chained on the wave supervisor pid):
+# 1. deploy-path variant sweep incl. the new int8 quantized path
+# 2. int8 quality deltas on the trained x2 and x4 checkpoints
+# 3. per-layer D-ladder re-measure with the fixed (chained, no-DCE)
+#    methodology from tools/_bench_util.py
+# 4. a fresh bench.py headline
+set -u
+cd "$(dirname "$0")/.."
+OUT=quality_runs/post_wave
+mkdir -p "$OUT"
+
+echo "=== deploy variants (b16/b64, xla/trunk/int8)"
+timeout 2400 python tools/bench_deploy_variants.py \
+  --variants xla trunk int8 int8_fp_ends \
+  > "$OUT/deploy_variants.log" 2>&1
+echo "rc=$?"
+
+echo "=== int8 quality: x2"
+timeout 1200 python tools/eval_quality.py --checkpoint quality_runs/x2/0 \
+  --n-suffixes 0 --synthetic-len 2048 --label x2_int8 --quant \
+  > "$OUT/int8_quality_x2.log" 2>&1
+echo "rc=$?"
+
+echo "=== int8 quality: x4_v3"
+timeout 1200 python tools/eval_quality.py --checkpoint quality_runs/x4_v3/0 \
+  --n-suffixes 1 --synthetic-len 8192 --label x4_v3_int8 --quant \
+  > "$OUT/int8_quality_x4.log" 2>&1
+echo "rc=$?"
+
+echo "=== per-layer D ladder (fixed methodology)"
+timeout 2400 python tools/bench_d_layers.py > "$OUT/d_layers.log" 2>&1
+echo "rc=$?"
+
+echo "=== bench.py"
+timeout 3600 python bench.py > "$OUT/bench.log" 2>&1
+echo "rc=$?"
+
+echo "=== post-wave bench done"
