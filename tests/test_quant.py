@@ -77,6 +77,44 @@ def test_int8_deploy_suffix_tree_and_keep_fp(small_gen):
         assert _psnr(got, ref) > 35.0
 
 
+def test_int8_sharded_serving_matches_single(small_gen):
+    """int8 deploy composes with batch-parallel serving: the dynamic
+    per-tensor activation amax becomes a cross-device max collective under
+    GSPMD, so the sharded output must match single-device exactly."""
+    from sisr_tpu.infer import fold_generator
+    from sisr_tpu.parallel import make_mesh, shard_batch, shard_infer_fn
+
+    cfg, params, state = small_gen
+    fp, _ = fold_generator(params, state, cfg)
+    qp = quantize_deploy(fp)
+    fn = lambda x: deploy_apply_int8(qp, x, cfg)  # noqa: E731
+
+    x = jax.random.uniform(jax.random.PRNGKey(8), (8, 12, 12, 3), minval=-1,
+                          maxval=1)
+    y1 = jax.jit(fn)(x)
+    mesh = make_mesh()
+    y8 = shard_infer_fn(fn, mesh)(shard_batch(mesh, x))
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_tiled_sr(small_gen):
+    """int8 deploy composes with halo tiling. Per-tile dynamic activation
+    scales differ slightly from the whole-image scale, so the contract is
+    quantization-noise closeness (not the fp path's exactness)."""
+    from sisr_tpu.infer import tiled_sr
+
+    cfg, params, state = small_gen
+    fwd_q = make_deploy_fn_int8(params, state, cfg)
+    img = np.asarray(jax.random.uniform(jax.random.PRNGKey(9), (72, 56, 3),
+                                        minval=-1, maxval=1))
+    direct = np.asarray(fwd_q(jnp.asarray(img)[None]))[0]
+    tiled = tiled_sr(params, state, img, cfg, tile=48, tile_batch=4,
+                     fwd=lambda p, s, x: fwd_q(x))
+    assert tiled.shape == direct.shape
+    assert _psnr(tiled, direct) > 35.0
+
+
 def test_make_deploy_fn_int8_jits(small_gen):
     cfg, params, state = small_gen
     fwd = make_deploy_fn_int8(params, state, cfg)
