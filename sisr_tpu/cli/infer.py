@@ -43,6 +43,10 @@ def main(argv=None):
     ap.add_argument("--deploy", action="store_true",
                     help="deploy mode: fold BN/SN constants into conv "
                          "weights (eval inference, fastest path)")
+    ap.add_argument("--quant", action="store_true",
+                    help="int8 quantized deploy path (implies --deploy "
+                         "folding; quality delta vs fp32 is checkpoint-"
+                         "specific — see tools/eval_quality.py --quant)")
     args = ap.parse_args(argv)
 
     import jax
@@ -60,7 +64,11 @@ def main(argv=None):
 
     ds = make_dataset(args.dataset, args.data_root, hr_s)
     os.makedirs(args.out_dir, exist_ok=True)
-    if args.deploy:
+    if args.quant:
+        from sisr_tpu.quant import make_deploy_fn_int8
+        deploy = make_deploy_fn_int8(params, state, gen_cfg)
+        fwd = lambda p, s, x: deploy(x)  # noqa: E731
+    elif args.deploy:
         from sisr_tpu.infer import make_deploy_fn
         deploy = make_deploy_fn(params, state, gen_cfg,
                                 compute_dtype=jnp.bfloat16)
@@ -77,7 +85,7 @@ def main(argv=None):
             # overriding the per-tile forward with the folded fn
             sr = tiled_sr(params, state, lr, gen_cfg,
                           compute_dtype=jnp.bfloat16,
-                          fwd=fwd if args.deploy else None)
+                          fwd=fwd if (args.deploy or args.quant) else None)
         else:
             sr = np.asarray(fwd(params, state, jnp.asarray(lr)))
         rows = [("LR", lr[0]), ("SR", sr[0]), ("HR", hr[0])]
