@@ -25,13 +25,18 @@ def main(argv=None):
     if args.split:
         rows = [r for r in rows if r["split"] == args.split]
 
-    print("| run | split | scale | PSNR SR | PSNR deploy | PSNR bicubic | "
-          "SSIM SR | SSIM bicubic | beats bicubic |")
-    print("|---|---|---|---|---|---|---|---|---|")
+    has_int8 = any("psnr_int8" in r for r in rows)
+    int8_h = " PSNR int8 |" if has_int8 else ""
+    print("| run | split | scale | PSNR SR | PSNR deploy |" + int8_h +
+          " PSNR bicubic | SSIM SR | SSIM bicubic | beats bicubic |")
+    print("|---|---|---|---|---|" + ("---|" if has_int8 else "") +
+          "---|---|---|---|")
     for r in rows:
+        int8_c = (f" {r['psnr_int8']:.2f} |" if "psnr_int8" in r
+                  else (" — |" if has_int8 else ""))
         print(f"| {r['label']} | {r['split']} | x{r['scale']} "
-              f"| {r['psnr_sr']:.2f} | {r['psnr_deploy']:.2f} "
-              f"| {r['psnr_bicubic']:.2f} | {r['ssim_sr']:.4f} "
+              f"| {r['psnr_sr']:.2f} | {r['psnr_deploy']:.2f} |" + int8_c +
+              f" {r['psnr_bicubic']:.2f} | {r['ssim_sr']:.4f} "
               f"| {r['ssim_bicubic']:.4f} "
               f"| {'yes' if r['beats_bicubic'] else 'no'} |")
 
