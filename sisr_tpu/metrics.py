@@ -33,7 +33,13 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
 
 def ssim(a, b, *, per_image: bool = False):
     """Structural similarity (Wang et al. 2004): 11x11 gaussian window,
-    K1=0.01, K2=0.03, mean over channels and space."""
+    K1=0.01, K2=0.03, mean over channels and space.
+
+    The window filters run at HIGHEST precision: TPU fp32 convs otherwise
+    drop to bf16 MXU passes, and the variance-by-cancellation
+    (E[x^2] - mu^2, true sigma^2 ~1e-3 for natural windows) gets swamped by
+    ~1e-2 relative conv noise — denominators go negative and SSIM leaves
+    [-1, 1] (observed: 1.64 on an on-chip eval)."""
     a, b = _to_unit(a), _to_unit(b)
     win = _gaussian_kernel()[:, :, None, None]  # HWIO, per-channel depthwise
     c = a.shape[-1]
@@ -43,12 +49,14 @@ def ssim(a, b, *, per_image: bool = False):
         return jax.lax.conv_general_dilated(
             x, kernel, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c)
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST)
 
     mu_a, mu_b = filt(a), filt(b)
     mu_a2, mu_b2, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    sig_a = filt(a * a) - mu_a2
-    sig_b = filt(b * b) - mu_b2
+    # clamp the cancellation residue: true variances are >= 0
+    sig_a = jnp.maximum(filt(a * a) - mu_a2, 0.0)
+    sig_b = jnp.maximum(filt(b * b) - mu_b2, 0.0)
     sig_ab = filt(a * b) - mu_ab
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     s = ((2 * mu_ab + c1) * (2 * sig_ab + c2)) / (

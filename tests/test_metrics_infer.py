@@ -30,6 +30,19 @@ def test_ssim_basics(rng):
     assert float(ssim(a, jnp.clip(a + noise, -1, 1))) < 0.85
 
 
+def test_ssim_bounded(rng):
+    """SSIM must stay in [-1, 1] (an on-chip eval once reported 1.64: TPU
+    fp32 convs default to bf16 passes, and the cancellation noise swamped
+    the window variances — fixed with HIGHEST-precision filters + a
+    variance clamp). Flat regions are the numerically worst case."""
+    flat = jnp.full((2, 48, 48, 3), 0.31)
+    tex = jnp.asarray(rng.uniform(-1, 1, (2, 48, 48, 3)).astype(np.float32))
+    half = jnp.concatenate([flat[:, :24], tex[:, :24]], axis=1)
+    for a, b in [(flat, flat), (flat, tex), (half, tex), (half, half)]:
+        v = float(ssim(a, b))
+        assert -1.0 <= v <= 1.0 + 1e-6, v
+
+
 def test_ssim_matches_torch_impl(rng):
     """Cross-check against an independent torch implementation of the same
     standard formula."""
