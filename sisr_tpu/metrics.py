@@ -54,10 +54,14 @@ def ssim(a, b, *, per_image: bool = False):
 
     mu_a, mu_b = filt(a), filt(b)
     mu_a2, mu_b2, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    # clamp the cancellation residue: true variances are >= 0
+    # clamp the cancellation residue: true variances are >= 0, and the
+    # covariance obeys Cauchy-Schwarz |sig_ab| <= sqrt(sig_a*sig_b) — with
+    # both enforced, per-window SSIM is mathematically bounded by 1 even
+    # under independent rounding of the three filter outputs
     sig_a = jnp.maximum(filt(a * a) - mu_a2, 0.0)
     sig_b = jnp.maximum(filt(b * b) - mu_b2, 0.0)
-    sig_ab = filt(a * b) - mu_ab
+    cs = jnp.sqrt(sig_a * sig_b)
+    sig_ab = jnp.clip(filt(a * b) - mu_ab, -cs, cs)
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     s = ((2 * mu_ab + c1) * (2 * sig_ab + c2)) / (
         (mu_a2 + mu_b2 + c1) * (sig_a + sig_b + c2))

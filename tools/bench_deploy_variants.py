@@ -78,7 +78,7 @@ def main():
                                     use_pallas_trunk=pt,
                                     use_pallas_upscale=pu,
                                     compute_dtype=jnp.bfloat16)
-            elif name.startswith("int8"):
+            elif name in ("int8", "int8_fp_ends"):
                 from sisr_tpu.quant import make_deploy_fn_int8
                 keep = (frozenset({"stem", "end", "upscale"})
                         if name == "int8_fp_ends" else frozenset())

@@ -30,17 +30,28 @@ timeout 1200 python tools/eval_quality.py --checkpoint quality_runs/x4_v3/0 \
 echo "rc=$?"
 
 echo "=== re-eval all checkpoints with HIGHEST-precision SSIM"
-: > quality_runs/eval_r2_fixed.jsonl
+# build into a temp file and swap in only if every eval succeeded, so a
+# partial rerun can't clobber the README table's source of truth
+TMP=quality_runs/eval_r2_fixed.jsonl.new
+: > "$TMP"
+EVAL_OK=1
 for spec in x2:0:2048 x2_gan:0:2048 x2_gan4:0:2048 x2_gan_pix:0:2048 \
             x4_prog:1:2048 x4_v2:1:8192 x4_v3:1:8192 x4_scratch:1:8192 \
             x4_ramp:1:8192 x8_prog:2:2048 x8_unsup:2:2048; do
   IFS=: read name suf len <<< "$spec"
-  [ -f "quality_runs/$name/0" ] && \
-    timeout 1200 python tools/eval_quality.py \
+  [ -f "quality_runs/$name/0" ] || continue
+  if ! timeout 1200 python tools/eval_quality.py \
       --checkpoint "quality_runs/$name/0" \
       --n-suffixes "$suf" --synthetic-len "$len" --label "$name" \
-      2>/dev/null | tee -a quality_runs/eval_r2_fixed.jsonl
+      2> "$OUT/eval_$name.err" | grep '^{' | tee -a "$TMP"; then
+    echo "eval $name FAILED (see $OUT/eval_$name.err)"; EVAL_OK=0
+  fi
 done
+if [ "$EVAL_OK" = 1 ]; then
+  mv "$TMP" quality_runs/eval_r2_fixed.jsonl
+else
+  echo "keeping previous eval_r2_fixed.jsonl; partial results in $TMP"
+fi
 
 echo "=== per-layer D ladder (fixed methodology)"
 timeout 2400 python tools/bench_d_layers.py > "$OUT/d_layers.log" 2>&1

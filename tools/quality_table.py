@@ -26,17 +26,19 @@ def main(argv=None):
         rows = [r for r in rows if r["split"] == args.split]
 
     has_int8 = any("psnr_int8" in r for r in rows)
-    int8_h = " PSNR int8 |" if has_int8 else ""
+    int8_h = " PSNR int8 | SSIM int8 |" if has_int8 else ""
     print("| run | split | scale | PSNR SR | PSNR deploy |" + int8_h +
-          " PSNR bicubic | SSIM SR | SSIM bicubic | beats bicubic |")
-    print("|---|---|---|---|---|" + ("---|" if has_int8 else "") +
+          " PSNR bicubic | SSIM deploy | SSIM bicubic | beats bicubic |")
+    print("|---|---|---|---|---|" + ("---|---|" if has_int8 else "") +
           "---|---|---|---|")
     for r in rows:
-        int8_c = (f" {r['psnr_int8']:.2f} |" if "psnr_int8" in r
-                  else (" — |" if has_int8 else ""))
+        if "psnr_int8" in r:
+            int8_c = f" {r['psnr_int8']:.2f} | {r['ssim_int8']:.4f} |"
+        else:
+            int8_c = " — | — |" if has_int8 else ""
         print(f"| {r['label']} | {r['split']} | x{r['scale']} "
               f"| {r['psnr_sr']:.2f} | {r['psnr_deploy']:.2f} |" + int8_c +
-              f" {r['psnr_bicubic']:.2f} | {r['ssim_sr']:.4f} "
+              f" {r['psnr_bicubic']:.2f} | {r['ssim_deploy']:.4f} "
               f"| {r['ssim_bicubic']:.4f} "
               f"| {'yes' if r['beats_bicubic'] else 'no'} |")
 
