@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--num-epochs", type=int, default=None)
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--no-lr-decay", action="store_true")
+    ap.add_argument("--augment-dihedral", action="store_true",
+                    help="8x rotation/mirror augmentation (leak-free vs the "
+                         "held-out split; for small datasets)")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--progressive-suffix", type=int, default=None,
                     choices=[0, 1, 2, 3, 4])
@@ -101,6 +104,8 @@ def config_from_args(args) -> C.TrainConfig:
             updates[field] = val
     if args.no_lr_decay:
         updates["lr_decay"] = False
+    if args.augment_dihedral:
+        updates["augment_dihedral"] = True
     if args.freeze_prefix:
         updates["freeze_prefix"] = True
     if args.freeze_upscale:

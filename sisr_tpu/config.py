@@ -220,6 +220,11 @@ class TrainConfig:
     # feature extractor (documented fallback, models/vgg.py)
     vgg_weights: Optional[str] = None
 
+    # opt-in 8x dihedral data augmentation for small datasets (no reference
+    # analog; leak-free vs the held-out-last-batch split —
+    # data/pipeline.DihedralAugmentedDataset)
+    augment_dihedral: bool = False
+
     # discriminator ladder (reference Discriminator args,
     # model_discriminator.py:19-24; SRGAN defaults from config.py:81-82).
     # Datasets whose HR size doesn't divide by the total stride (e.g. mnist

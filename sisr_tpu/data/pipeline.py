@@ -159,6 +159,43 @@ class MNISTDataset:
         return (arr[:, :, None] * 2.0 - 1.0).astype(np.float32)
 
 
+class DihedralAugmentedDataset:
+    """Opt-in 8x dihedral augmentation (4 rotations x mirror) for small
+    datasets — no reference analog (the reference pipeline is
+    Resize->ToTensor->Normalize only, config.py:224-244).
+
+    Leak-free split layout: the last `reserve_last` base images are NOT
+    augmented and sit at the END of the index space, so the reference's
+    held-out-last-batch split (config.py:271-272) tests the same
+    untouched images as an unaugmented run — augmented views of test
+    images never enter the training range. Requires square images
+    (rotations preserve shape)."""
+
+    def __init__(self, base, reserve_last: int):
+        self.base = base
+        self.reserve = int(reserve_last)
+        self.n_aug = len(base) - self.reserve
+        if self.n_aug <= 0:
+            raise ValueError("reserve_last >= len(base)")
+        h, w = base[0].shape[:2]
+        if h != w:
+            raise ValueError("dihedral augmentation needs square images")
+
+    def __len__(self):
+        return 8 * self.n_aug + self.reserve
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        if i >= 8 * self.n_aug:  # the untouched held-out tail
+            return self.base[self.n_aug + (i - 8 * self.n_aug)]
+        t, j = divmod(i, self.n_aug)
+        img = self.base[j]
+        if t % 4:
+            img = np.rot90(img, k=t % 4, axes=(0, 1))
+        if t >= 4:
+            img = img[:, ::-1]
+        return np.ascontiguousarray(img)
+
+
 def make_dataset(name: str, root: Optional[str], hr_size: Tuple[int, int, int],
                  synthetic_len: int = 512):
     if name == "synthetic" or root is None:
@@ -231,6 +268,8 @@ def build_data(cfg, synthetic_len: int = 512):
 
     hr_s, lr_s = cfg.geometry()
     ds = make_dataset(cfg.dataset, cfg.data_root, hr_s, synthetic_len)
+    if getattr(cfg, "augment_dihedral", False):
+        ds = DihedralAugmentedDataset(ds, reserve_last=cfg.batch_size)
     n = (len(ds) - cfg.batch_size) // 2
     if n < cfg.batch_size // 2:
         raise ValueError(f"dataset too small: {len(ds)}")

@@ -117,3 +117,65 @@ def test_make_dataset_dispatch(tmp_path, image_root):
         == "SyntheticDataset"
     assert isinstance(make_dataset("celeba", image_root, (3, 64, 64)),
                       ImageFolderDataset)
+
+
+# ---------------------------------------------------------------------------
+# dihedral augmentation (opt-in, no reference analog)
+# ---------------------------------------------------------------------------
+
+
+def test_dihedral_augmentation_layout_and_transforms():
+    from sisr_tpu.data.pipeline import (DihedralAugmentedDataset,
+                                        SyntheticDataset)
+
+    base = SyntheticDataset((3, 16, 16), 20)
+    aug = DihedralAugmentedDataset(base, reserve_last=4)
+    n_aug = 16
+    assert len(aug) == 8 * n_aug + 4
+
+    # the reserved tail is the base's last images, untouched — the
+    # held-out-last-batch split tests the same images as an unaugmented run
+    for k in range(4):
+        np.testing.assert_array_equal(aug[8 * n_aug + k], base[n_aug + k])
+
+    # transform block t applies rot90^t (t<4) and mirror for t>=4
+    j = 3
+    np.testing.assert_array_equal(aug[j], base[j])
+    np.testing.assert_array_equal(aug[n_aug + j],
+                                  np.rot90(base[j], 1, axes=(0, 1)))
+    np.testing.assert_array_equal(aug[4 * n_aug + j], base[j][:, ::-1])
+    np.testing.assert_array_equal(
+        aug[7 * n_aug + j], np.rot90(base[j], 3, axes=(0, 1))[:, ::-1])
+
+    # all 8 views of one image are distinct for generic content
+    views = {aug[t * n_aug + j].tobytes() for t in range(8)}
+    assert len(views) == 8
+
+
+def test_dihedral_augmentation_through_build_data():
+    import dataclasses
+    from sisr_tpu.config import preset_x2_mse
+    from sisr_tpu.data.pipeline import build_data
+
+    cfg = dataclasses.replace(preset_x2_mse("celeba"), dataset="synthetic",
+                              batch_size=4, augment_dihedral=True)
+    loader, (test_hr, _), n_batch = build_data(cfg, synthetic_len=20)
+    # (8*16 + 4 - 4) // 2 = 64 -> 2n = 128 train images, 32 batches of 4
+    assert n_batch == 32
+    plain = dataclasses.replace(cfg, augment_dihedral=False)
+    _, (test_hr_plain, _), _ = build_data(plain, synthetic_len=20)
+    np.testing.assert_array_equal(test_hr, test_hr_plain)
+
+
+def test_dihedral_augmentation_rejects_non_square():
+    from sisr_tpu.data.pipeline import DihedralAugmentedDataset
+
+    class Rect:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return np.zeros((8, 12, 3), np.float32)
+
+    with pytest.raises(ValueError):
+        DihedralAugmentedDataset(Rect(), reserve_last=2)
