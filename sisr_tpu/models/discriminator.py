@@ -35,6 +35,17 @@ from sisr_tpu.nn.spectral_norm import sn_init, sn_normalize
 #: — perf toggle, numerics identical either way (see discriminator_apply)
 FUSE_STEM = True
 
+#: run the fused s2d stem as ONE pallas kernel (ops/pallas/fused_stem.py:
+#: both convs + the LeakyReLU in a single VMEM pass, custom VJP) instead of
+#: two XLA convs. Requires FUSE_STEM preconditions + compute_dtype; falls
+#: back to the XLA pair otherwise. Numerics: same dot products with fp32
+#: bias/lrelu staging between them (exact-tested in tests/test_fused_stem).
+PALLAS_STEM = False
+_PALLAS_INTERPRET = False  # tests flip this to run the kernel on CPU
+#: largest half-resolution pixel count the kernel is sized for (VMEM):
+#: covers every training HR geometry (<= 128x128 input)
+_PALLAS_STEM_MAX_HW = 4096
+
 
 def discriminator_init(key, cfg: DiscriminatorConfig):
     nfs, strides = cfg.list_n_features, cfg.list_stride
@@ -117,24 +128,37 @@ def discriminator_apply(params, state, x, *, train: bool, cfg: DiscriminatorConf
                  and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
     start_block = 0
     if fuse_stem:
-        if cd is not None:
-            x = x.astype(cd)
-            kernel = kernel.astype(cd)
-        xs = space_to_depth2(x)
-        y = lax.conv_general_dilated(
-            xs, _s2d_kernel_stride1_phases(kernel), (1, 1),
-            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = y + jnp.tile(params["stem"]["conv"]["bias"], 4).astype(y.dtype)
-        y = leaky_relu(y)  # == space_to_depth2(leaky_relu(stem_out))
-
         bp, bs = params["blocks"][0], state["blocks"][0]
         k0, s0 = sn_normalize(bp["conv"]["kernel"], bs["conv"], train=sn_train)
-        if cd is not None:
-            k0 = k0.astype(cd)
-        y = lax.conv_general_dilated(
-            y, _s2d_kernel_stride2(k0), (1, 1), [(1, 0), (1, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = y + bp["conv"]["bias"].astype(y.dtype)
+        use_pallas = (PALLAS_STEM and cd is not None
+                      and (x.shape[1] // 2) * (x.shape[2] // 2)
+                      <= _PALLAS_STEM_MAX_HW)
+        if use_pallas:
+            from sisr_tpu.ops.pallas.fused_stem import make_fused_stem
+            fpal = make_fused_stem(interpret=_PALLAS_INTERPRET,
+                                   compute_dtype=cd, slope=0.01)
+            y = fpal(space_to_depth2(x).astype(cd),
+                     _s2d_kernel_stride1_phases(kernel).astype(cd),
+                     jnp.tile(params["stem"]["conv"]["bias"], 4),
+                     _s2d_kernel_stride2(k0).astype(cd),
+                     bp["conv"]["bias"])
+        else:
+            if cd is not None:
+                x = x.astype(cd)
+                kernel = kernel.astype(cd)
+            xs = space_to_depth2(x)
+            y = lax.conv_general_dilated(
+                xs, _s2d_kernel_stride1_phases(kernel), (1, 1),
+                [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y + jnp.tile(params["stem"]["conv"]["bias"], 4) \
+                .astype(y.dtype)
+            y = leaky_relu(y)  # == space_to_depth2(leaky_relu(stem_out))
+
+            k0c = k0.astype(cd) if cd is not None else k0
+            y = lax.conv_general_dilated(
+                y, _s2d_kernel_stride2(k0c), (1, 1), [(1, 0), (1, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y + bp["conv"]["bias"].astype(y.dtype)
         y, bns = batchnorm_apply(bp["bn"], bs["bn"], y, train=train,
                                  axis_name=bn_axis)
         x = leaky_relu(y)
