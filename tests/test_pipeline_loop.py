@@ -124,6 +124,47 @@ def test_end_to_end_progressive_grow(tmp_path):
         np.asarray(f4b["base/first_layers/conv/kernel"]))
 
 
+def test_progressive_continue_already_grown(tmp_path):
+    """Resuming an ALREADY-grown checkpoint uses the even suffix (2 for x4,
+    4 for x8): the arch is built at full depth BEFORE load so every key
+    lands (reference config.py:83-96, progressive_gan_suffix >= 2 wraps
+    before torch.load). The odd suffix on the same checkpoint rebuilds a
+    fresh base and transplants ~0% of it — the failure mode this test
+    pins down."""
+    from sisr_tpu.checkpoint import load_checkpoint
+    from sisr_tpu.nn.pytree import flatten_with_paths
+
+    res2 = train(_cfg(write_root=str(tmp_path) + "/"), save=True,
+                 synthetic_len=40, verbose=False)
+    ck2 = load_checkpoint(res2.write_path)
+    res4 = train(_cfg(write_root=str(tmp_path) + "/", progressive_suffix=1),
+                 checkpoint=ck2, save=True, synthetic_len=40, verbose=False)
+    ck4 = load_checkpoint(res4.write_path)  # already-grown x4 checkpoint
+
+    # correct wiring: suffix 2 = wrap before load -> 100% transplant
+    cfg_cont = _cfg(progressive_suffix=2)
+    assert cfg_cont.scale_factor == 4
+    ts, _, reports = assemble_state(jax.random.PRNGKey(1), cfg_cont, ck4,
+                                    verbose=False)
+    rp = reports["net_g"]
+    assert rp.coverage == 1.0
+    assert not rp.missing and not rp.mismatched
+    f_ck = flatten_with_paths(ck4["net_g"]["params"])
+    f_ts = flatten_with_paths(ts["params_g"])
+    assert set(f_ck) == set(f_ts)
+    for k in f_ck:
+        np.testing.assert_array_equal(np.asarray(f_ck[k]),
+                                      np.asarray(f_ts[k]))
+
+    # wrong wiring: suffix 1 grows a FRESH stage after loading into a bare
+    # base — the grown checkpoint's nested base/* keys can't land
+    _, _, bad = assemble_state(jax.random.PRNGKey(1),
+                               _cfg(progressive_suffix=1), ck4,
+                               verbose=False)
+    assert bad["net_g"].coverage < 0.5
+    assert bad["net_g"].unused  # base/* keys of ck4 had nowhere to go
+
+
 def test_end_to_end_unsupervised(tmp_path):
     cfg = _cfg(content_loss_on_lr=True, write_root=str(tmp_path) + "/",
                windows=LossWindows(adv_g=(0, INF), adv_d=(0, INF),
