@@ -40,9 +40,10 @@ class SyntheticDataset:
     """Procedural smooth random textures, deterministic per index."""
 
     # cap host memory spent on memoized images (fp32 HWC: a 128x128x3 image
-    # is ~196 KB, so 2 GB holds ~10k images — past the cap, extra indices
-    # regenerate each access instead of growing RSS unboundedly)
-    CACHE_BYTES_MAX = 2 << 30
+    # is ~196 KB, so 8 GB holds ~43k images — past the cap, extra indices
+    # regenerate each access instead of growing RSS unboundedly; regenerating
+    # costs ~2.6 ms/image on this 1-core host, ~1 min/epoch at 22k misses)
+    CACHE_BYTES_MAX = 8 << 30
 
     def __init__(self, hr_size: Tuple[int, int, int], length: int = 512):
         self.c, self.h, self.w = hr_size

@@ -9,6 +9,13 @@
 # the trained x8 checkpoint on 4x data (len 8192) to test whether the
 # TPU build can beat bicubic where the reference documents failure.
 #
+# Recipe note: the first attempt (60 epochs, lr 2e-4 — log kept at
+# quality_runs/x8_v2/train_60ep_lr2e4_aborted.log) peaked at 24.59 dB by
+# epoch 4 and then drifted DOWN ~0.07 dB/epoch (23.79 by epoch 20,
+# training loss still falling) — the same continuation-overfit pattern as
+# wave 4 and x4_v3. 12 epochs at lr 1e-4 lands the checkpoint near the
+# peak instead of riding the drift.
+#
 # --progressive-suffix 4 = wrap two suffixes BEFORE load (already-grown
 # x8 checkpoint; see loop._PRE_SUFFIXES — suffix 3 would rebuild a fresh
 # x2 base and transplant 0%). Eval at len 8192: its held-out batch
@@ -32,7 +39,7 @@ run() {
 run x8_v2 --preset x2_mse --progressive-suffix 4 \
   --checkpoint quality_runs/x8_prog/0 \
   --dataset synthetic --synthetic-len 8192 --batch-size 16 \
-  --num-epochs 60 --lr 2e-4 --seed 66 --fused-steps 8
+  --num-epochs 12 --lr 1e-4 --seed 66 --fused-steps 8
 
 [ -f quality_runs/x8_v2/0 ] && \
   python tools/eval_quality.py --checkpoint quality_runs/x8_v2/0 \
