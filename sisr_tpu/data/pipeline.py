@@ -42,8 +42,10 @@ class SyntheticDataset:
     # cap host memory spent on memoized images (fp32 HWC: a 128x128x3 image
     # is ~196 KB, so 8 GB holds ~43k images — past the cap, extra indices
     # regenerate each access instead of growing RSS unboundedly; regenerating
-    # costs ~2.6 ms/image on this 1-core host, ~1 min/epoch at 22k misses)
-    CACHE_BYTES_MAX = 8 << 30
+    # costs ~2.6 ms/image on this 1-core host, ~1 min/epoch at 22k misses).
+    # SISR_SYNTH_CACHE_GB raises the cap for data-scaling runs whose working
+    # set exceeds 8 GB (e.g. synthetic-len 131072 at 128x128 is ~26 GB).
+    CACHE_BYTES_MAX = int(float(os.environ.get("SISR_SYNTH_CACHE_GB", "8")) * (1 << 30))
 
     def __init__(self, hr_size: Tuple[int, int, int], length: int = 512):
         self.c, self.h, self.w = hr_size
