@@ -204,7 +204,11 @@ def make_dataset(name: str, root: Optional[str], hr_size: Tuple[int, int, int],
     if name == "synthetic" or root is None:
         if name not in ("synthetic",) and root is None:
             print(f"[data] no data_root for '{name}' — using synthetic stand-in")
-        return SyntheticDataset(hr_size, synthetic_len)
+        # Native (C++) generator when buildable: bit-identical pixel stream
+        # (self-checked at load), with a batched fast path; transparently
+        # degrades to the pure-Python generator otherwise.
+        from sisr_tpu.data.native_loader import NativeSyntheticDataset
+        return NativeSyntheticDataset(hr_size, synthetic_len)
     if name == "mnist":
         return MNISTDataset(root, hr_size)
     return ImageFolderDataset(root, hr_size)
@@ -230,9 +234,13 @@ class BatchLoader:
 
     def _produce(self, q: "queue.Queue"):
         n = len(self)
+        batched = getattr(self.dataset, "batch", None)
         for b in range(n):
             idx = self.indices[b * self.batch_size:(b + 1) * self.batch_size]
-            batch = np.stack([self.dataset[i] for i in idx])
+            if batched is not None:
+                batch = batched(idx)
+            else:
+                batch = np.stack([self.dataset[i] for i in idx])
             q.put(batch)
         q.put(None)
 

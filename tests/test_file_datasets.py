@@ -109,12 +109,13 @@ def test_mnist_resize_to_geometry(tmp_path):
 
 
 def test_make_dataset_dispatch(tmp_path, image_root):
+    synth_names = ("SyntheticDataset", "NativeSyntheticDataset")
     assert type(make_dataset("synthetic", None, (3, 64, 64))).__name__ \
-        == "SyntheticDataset"
+        in synth_names
     # no root => synthetic stand-in with a notice (reference has no such
     # mode; this keeps the CLI runnable without data)
     assert type(make_dataset("celeba", None, (3, 64, 64))).__name__ \
-        == "SyntheticDataset"
+        in synth_names
     assert isinstance(make_dataset("celeba", image_root, (3, 64, 64)),
                       ImageFolderDataset)
 
