@@ -34,23 +34,27 @@ def main():
         print(f"native loader unavailable: {native_loader.native_status()}")
         return
 
-    # warmup both paths
-    SyntheticDataset(hr, length)._generate(0)
-    NativeSyntheticDataset(hr, length).batch([0, 1])
-
+    # warm both paths (page-fault the batch buffers, JIT nothing: first
+    # native call also touches the fresh 25 MB output allocation)
     py = SyntheticDataset(hr, length)
-    t0 = time.perf_counter()
-    for i in range(n):
-        py._generate(1000 + i)
-    t_py = time.perf_counter() - t0
-
     nat = NativeSyntheticDataset(hr, length)
     nat._cache_max = 0  # force the generate path
-    t0 = time.perf_counter()
     idx = list(range(1000, 1000 + n))
-    for b in range(0, n, 64):
-        nat.batch(idx[b:b + 64])
-    t_nat = time.perf_counter() - t0
+    nat.batch(idx[:64])
+    for i in range(8):
+        py._generate(i)
+
+    def best_of(fn, trials=3):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_py = best_of(lambda: [py._generate(1000 + i) for i in range(n)])
+    t_nat = best_of(lambda: [nat.batch(idx[b:b + 64])
+                             for b in range(0, n, 64)])
 
     print(json.dumps({
         "images": n, "hw": args.hw,
