@@ -233,16 +233,22 @@ class BatchLoader:
         return len(self.indices) // self.batch_size  # drop_last=True
 
     def _produce(self, q: "queue.Queue"):
-        n = len(self)
-        batched = getattr(self.dataset, "batch", None)
-        for b in range(n):
-            idx = self.indices[b * self.batch_size:(b + 1) * self.batch_size]
-            if batched is not None:
-                batch = batched(idx)
-            else:
-                batch = np.stack([self.dataset[i] for i in idx])
-            q.put(batch)
-        q.put(None)
+        # an exception here must reach the consumer: if the producer died
+        # silently, __iter__ would block on q.get() forever
+        try:
+            n = len(self)
+            batched = getattr(self.dataset, "batch", None)
+            for b in range(n):
+                idx = self.indices[b * self.batch_size:
+                                   (b + 1) * self.batch_size]
+                if batched is not None:
+                    batch = batched(idx)
+                else:
+                    batch = np.stack([self.dataset[i] for i in idx])
+                q.put(batch)
+            q.put(None)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -252,6 +258,8 @@ class BatchLoader:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

@@ -249,3 +249,23 @@ def test_mnist_vgg_window_remaps_to_identity():
     assert ck == "identity" and w_c == 1.0
     r = train(cfg, save=False, synthetic_len=40, verbose=False)
     assert np.isfinite(r.metrics["psnr"])
+
+
+def test_batchloader_propagates_producer_exception():
+    """A dataset error in the prefetch thread must raise in the consumer,
+    not leave it blocked on q.get() forever (failure-tolerance contract)."""
+    class Exploding:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("boom at 5")
+            return np.zeros((4, 4, 3), np.float32)
+
+    loader = BatchLoader(Exploding(), range(8), 2)
+    got = []
+    with pytest.raises(RuntimeError, match="boom at 5"):
+        for b in loader:
+            got.append(b)
+    assert len(got) == 2  # batches [0,1] and [2,3] arrived before the error
