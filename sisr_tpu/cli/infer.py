@@ -31,6 +31,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="sisr_tpu inference/eval")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--dataset", default="synthetic")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (debug / no-chip fallback)")
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--n-images", type=int, default=4)
     ap.add_argument("--n-suffixes", type=int, default=1,
@@ -48,6 +50,12 @@ def main(argv=None):
                          "folding; quality delta vs fp32 is checkpoint-"
                          "specific — see tools/eval_quality.py --quant)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        # debugging / chip-less fallback: force the CPU backend (the
+        # site hook pins JAX_PLATFORMS=axon, so env vars don't work)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     gen_cfg = GeneratorConfig(n_suffixes=args.n_suffixes)

@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="celeba | flickr | mnist | synthetic")
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--write-root", default="./checkpoints/")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (debug / no-chip fallback)")
     ap.add_argument("--checkpoint", default=None,
                     help="path of a checkpoint to resume/transplant from")
     ap.add_argument("--batch-size", type=int, default=None)
@@ -125,6 +127,11 @@ def config_from_args(args) -> C.TrainConfig:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        # debugging / chip-less fallback: force the CPU backend (the
+        # site hook pins JAX_PLATFORMS=axon, so env vars don't work)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     cfg = config_from_args(args)
     print("write_root:", cfg.write_root)
     print("progressive_suffix:", cfg.progressive_suffix,

@@ -39,7 +39,15 @@ def main(argv=None):
     ap.add_argument("--label", default=None)
     ap.add_argument("--quant", action="store_true",
                     help="also evaluate the int8 quantized deploy path")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (debug / no-chip fallback)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        # debugging / chip-less fallback: force the CPU backend (the
+        # site hook pins JAX_PLATFORMS=axon, so env vars don't work)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
