@@ -21,7 +21,7 @@ from __future__ import annotations
 
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

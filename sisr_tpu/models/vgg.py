@@ -22,7 +22,7 @@ conv terms; model_content_extractor.py:6-7).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
