@@ -61,9 +61,11 @@ def main(argv=None):
     from sisr_tpu.models.generator import generator_init
     from sisr_tpu.ops.resize import bicubic_resize, lr_from_hr
 
-    gen_cfg = GeneratorConfig(n_suffixes=args.n_suffixes)
-    scale = gen_cfg.scale
+    # channel count follows the dataset geometry (mnist is 1-channel)
+    scale = GeneratorConfig(n_suffixes=args.n_suffixes).scale
     hr_s, lr_s = C.resolve_geometry(args.dataset, scale)
+    gen_cfg = GeneratorConfig(n_suffixes=args.n_suffixes,
+                              input_channels=hr_s[0])
 
     params, state = generator_init(jax.random.PRNGKey(0), gen_cfg)
     ckpt = load_checkpoint(args.checkpoint)
