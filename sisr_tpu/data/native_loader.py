@@ -49,8 +49,15 @@ def _build() -> str:
     cache = os.path.join(tempfile.gettempdir(), f"sisr_loader_{digest}.so")
     if os.path.exists(cache):
         return cache
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", cache + ".tmp", src]
-    subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    base = ["g++", "-O3", "-shared", "-fPIC", "-o", cache + ".tmp", src]
+    # OpenMP parallelizes the per-image batch fill on multi-core hosts
+    # (bit-identical output: each image owns its RNG stream); fall back
+    # to a serial build where libgomp is unavailable.
+    try:
+        subprocess.run(base + ["-fopenmp"], check=True,
+                       capture_output=True, timeout=120)
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired):
+        subprocess.run(base, check=True, capture_output=True, timeout=120)
     os.replace(cache + ".tmp", cache)
     return cache
 

@@ -126,3 +126,20 @@ def test_env_disable_falls_back(monkeypatch):
 def test_self_check_guard(lib):
     """native_status reports active once loaded + self-checked."""
     assert native_loader.native_status() == "active"
+
+
+def test_threaded_batch_bitwise(lib, monkeypatch):
+    """With an OpenMP build, a multi-threaded batch fill must be
+    bit-identical to the single-thread result (each image owns its own
+    PCG64 stream, so scheduling order cannot matter)."""
+    import os
+    ds = NativeSyntheticDataset((3, 32, 32), length=256)
+    ds._cache_max = 0
+    idx = list(range(64))
+    a = ds.batch(idx)
+    os.environ["OMP_NUM_THREADS"] = "4"  # no-op on a serial build
+    try:
+        b = ds.batch(idx)
+    finally:
+        os.environ.pop("OMP_NUM_THREADS", None)
+    assert (a == b).all()
