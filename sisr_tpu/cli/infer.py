@@ -48,8 +48,20 @@ def main(argv=None):
     ap.add_argument("--quant", action="store_true",
                     help="int8 quantized deploy path (implies --deploy "
                          "folding; quality delta vs fp32 is checkpoint-"
-                         "specific — see tools/eval_quality.py --quant)")
+                         "specific — see tools/eval_quality.py --quant). "
+                         "With --tiled the result is approximate: "
+                         "activation scales are dynamic per tile batch, "
+                         "so overlapping tiles can quantize differently "
+                         "and show faint seams vs full-image int8")
     args = ap.parse_args(argv)
+    if args.quant and args.tiled:
+        # conv2d_q's per-tensor activation scale is computed per tile
+        # batch, which breaks tiled_sr's exactness contract (identical
+        # pixels can quantize differently in adjacent tiles). Full-image
+        # --quant, or --tiled --deploy (fp32/bf16), are the exact paths.
+        print("WARNING: --quant + --tiled is approximate (per-tile dynamic "
+              "activation scales; possible tile seams). Use --quant alone "
+              "or --tiled --deploy for exact output.")
 
     if args.cpu:
         # debugging / chip-less fallback: force the CPU backend (the

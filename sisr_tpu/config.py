@@ -299,11 +299,14 @@ def preset_x2_gan(dataset: str = "celeba", pixel_content: bool = False,
     """Config 2: x2 full adversarial G + D + MaskedVGG content loss.
 
     `pixel_content=True` swaps the VGG content window for the identity
-    (plain pixel MSE) window — the reference's own substitution for data
-    the pretrained extractor can't serve (config.py:100-104 does exactly
-    this for 1-channel inputs). The practical use here: adversarial
-    finetuning that keeps a pixel anchor when no pretrained VGG19 weights
-    are available (see BENCH_NOTES on the zero-egress environment).
+    (plain pixel MSE) window. NOTE this is deliberately NOT the
+    reference's 1-channel substitution (config.py:100-104): that one
+    keeps the CONTENT window open with an identity extractor, i.e. pixel
+    MSE at weight 1.0*f — `epoch_weights` reproduces it for mnist. The
+    identity window used here carries weight 10.0*f (reference
+    config.py:146-152), so the pixel anchor is 10x heavier — the point,
+    for adversarial finetuning without pretrained VGG19 weights (see
+    BENCH_NOTES on the zero-egress environment), is a strong anchor.
     """
     windows = (
         LossWindows(content=(0, 0), identity=(0, INF))

@@ -29,6 +29,10 @@ import numpy as np
 
 _ABI = 3
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "_native")
+# loader.cpp's Grating.ph/col are fixed float[8] buffers (loader.cpp:227);
+# channel counts past that would overflow native stack memory. Every known
+# geometry is c<=3 (config.resolve_geometry), so >8 falls back to Python.
+_MAX_NATIVE_CHANNELS = 8
 
 _lib = None          # ctypes.CDLL once loaded + self-checked
 _failed: Optional[str] = None   # reason the native path is disabled
@@ -76,6 +80,9 @@ def _self_check(lib) -> Optional[str]:
 
 
 def _gen_batch(lib, indices: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
+    if c > _MAX_NATIVE_CHANNELS:
+        raise ValueError(f"native loader supports c<={_MAX_NATIVE_CHANNELS} "
+                         f"(fixed stack buffers in loader.cpp), got {c}")
     n = len(indices)
     indices = np.ascontiguousarray(indices, np.int64)
     ph = np.empty((n, 4, c), np.float32)
@@ -149,7 +156,7 @@ class NativeSyntheticDataset:
         hit = self._cache.get(i)
         if hit is not None:
             return hit
-        lib = load()
+        lib = load() if self.c <= _MAX_NATIVE_CHANNELS else None
         if lib is None:
             return self._py[i]
         out = _gen_batch(lib, np.array([i], np.int64), self.h, self.w,
@@ -160,7 +167,7 @@ class NativeSyntheticDataset:
 
     def batch(self, indices: Sequence[int]) -> np.ndarray:
         """Assemble a batch, generating cache misses in one native call."""
-        lib = load()
+        lib = load() if self.c <= _MAX_NATIVE_CHANNELS else None
         if lib is None:
             return np.stack([self._py[i] for i in indices])
         misses = [i for i in indices if i not in self._cache]

@@ -80,17 +80,35 @@ class DeviceReplayBuffer:
                                 jnp.bfloat16)
         self._n = jnp.zeros((), jnp.int32)
         self._key = jax.random.PRNGKey(seed)
+        # True while a scan state handed out by as_scan_state is live: the
+        # fused driver donates it (multi_step donate_argnums), so our
+        # internal arrays are invalidated device buffers until
+        # load_scan_state re-materializes them. Direct use in that window
+        # (mid-epoch persistence, inspection) must fail loudly, not read
+        # garbage — loop.sync_buf() is the re-materialization point.
+        self._donated = False
+
+    def _check_live(self, op: str) -> None:
+        if self._donated:
+            raise RuntimeError(
+                f"DeviceReplayBuffer.{op} while a scan state from "
+                "as_scan_state() is outstanding (internal buffers were "
+                "donated to the fused driver); call load_scan_state() / "
+                "loop.sync_buf() first")
 
     def __len__(self) -> int:
+        self._check_live("__len__")
         return int(self._n)
 
     def maybe_store(self, iteration: int, fake) -> None:
         if self.cfg.max_len == 0 or iteration % self.cfg.save_freq != 0:
             return
+        self._check_live("maybe_store")
         self._stack, self._n, self._key = _store(
             self._stack, self._n, self._key, fake, max_len=self.cfg.max_len)
 
     def sample(self):
+        self._check_live("sample")
         r = max(self.cfg.max_samples, 1)
         sampled, mask, self._key = _sample(self._stack, self._n, self._key,
                                            r=r, ratio=self.cfg.sample_ratio)
@@ -101,16 +119,20 @@ class DeviceReplayBuffer:
     # --- fused-driver interop (train/multi_step.py carry format) ---
 
     def as_scan_state(self, iteration: int):
+        self._check_live("as_scan_state")
+        self._donated = True
         return {"stack": self._stack, "n": self._n, "key": self._key,
                 "it": jnp.asarray(iteration, jnp.int32)}
 
     def load_scan_state(self, rs) -> None:
         self._stack, self._n = rs["stack"], rs["n"]
         self._key = rs["key"]
+        self._donated = False
 
     # --- persistence (same wire format as the host buffer) ---
 
     def state_dict(self) -> Optional[np.ndarray]:
+        self._check_live("state_dict")
         if not self.cfg.persist:
             return np.zeros((0,) + self.batch_shape, np.float32)
         n = int(self._n)

@@ -1,31 +1,47 @@
 #!/bin/bash
-# Probe the TPU relay; when it answers, relaunch the wave-8 quality script.
-# The axon relay dropped mid-run once (wave-8 leg 1, ~19:31 wall); this
-# watchdog recovers the run without manual supervision.
+# Probe the TPU relay; when it answers, relaunch the given work.
+#
+# Usage: tools/tpu_watchdog.sh [cmd...]
+#   cmd defaults to "python bench.py" (the round's perf capture).
+#   The relaunched command's output goes to /tmp/watchdog_work.log and its
+#   pid to /tmp/watchdog_work.pid.
+#
+# The axon relay dropped mid-run once (wave-8 leg 1, round 2, ~4h outage);
+# this watchdog recovers unattended. Every probe/relaunch event is appended
+# to quality_runs/watchdog.log (committed) so downtime is auditable.
 set -u
 cd "$(dirname "$0")/.."
+LOG=quality_runs/watchdog.log
+mkdir -p quality_runs
+
+log() { echo "[watchdog] $(date -u +%Y-%m-%dT%H:%M:%SZ) $*" | tee -a "$LOG"; }
 
 probe() {
+  # ones(128,128) @ ones(128,128) sums to 128^3 (each of the 128*128
+  # entries equals 128). Round 2 shipped `== 128*128`, which fails on a
+  # HEALTHY chip — ADVICE.md r2 medium finding. Probe in a killable
+  # subprocess: a dead relay parks jax init in a futex forever.
   timeout 120 python -c "
 import jax
 import jax.numpy as jnp
 assert jax.default_backend() == 'tpu'
 y = (jnp.ones((128,128)) @ jnp.ones((128,128))).sum()
-assert float(y) == 128.0 * 128.0
+assert float(y) == 128.0 ** 3, float(y)
 print('TPU OK')
 " 2>/dev/null | grep -q "TPU OK"
 }
 
-echo "[watchdog] $(date -u +%H:%M:%S) start"
+if [ "$#" -ge 1 ]; then CMD=("$@"); else CMD=(python bench.py); fi
+
+log "start — will relaunch: ${CMD[*]}"
 while true; do
   if probe; then
-    echo "[watchdog] $(date -u +%H:%M:%S) TPU is back — relaunching wave 8"
-    rm -rf quality_runs/x4_v5   # leg 1 had no checkpoint yet; restart clean
-    nohup bash tools/quality_round2h.sh > /tmp/wave8.log 2>&1 &
-    echo $! > /tmp/wave8.pid
-    echo "[watchdog] wave8 pid $(cat /tmp/wave8.pid)"
+    log "TPU is back — relaunching: ${CMD[*]}"
+    nohup "${CMD[@]}" > /tmp/watchdog_work.log 2>&1 &
+    echo $! > /tmp/watchdog_work.pid
+    log "work pid $(cat /tmp/watchdog_work.pid)"
     exit 0
   fi
-  echo "[watchdog] $(date -u +%H:%M:%S) TPU still unreachable"
+  log "TPU still unreachable"
   sleep 180
 done
