@@ -26,6 +26,11 @@ import json
 import time
 
 REF_A100_TRAIN_MPS = 3.0
+#: idealized A100 rewrite of the reference (all replay slots batched, no
+#: per-forward SN hooks / .item() syncs) — the stress-test comparator.
+#: Banded per-layer-class derivation: BENCH_NOTES.md round 3, "Baseline
+#: denominator: banded derivation" (3.9-6.6 MP/s band, midpoint 5.0).
+REF_A100_TRAIN_MPS_IDEAL = 5.0
 REF_A100_INFER_MPS = 140.0
 
 
@@ -170,6 +175,7 @@ def main():
         "vs_baseline": round(train_mps / REF_A100_TRAIN_MPS, 3),
         "extras": {
             "train_ms_per_step": round(train_dt * 1e3, 3),
+            "vs_a100_ideal": round(train_mps / REF_A100_TRAIN_MPS_IDEAL, 3),
             "infer_mps": round(infer_mps, 3),
             "infer_mps_b64": round(infer64_mps, 3),
             "infer_ms_per_batch": round(infer_dt * 1e3, 3),

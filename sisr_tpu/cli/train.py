@@ -61,6 +61,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "reference's editable-window recipe, README.md:55)")
     ap.add_argument("--vgg-weights", default=None,
                     help=".npz from tools/port_vgg_weights.py")
+    ap.add_argument("--content-extractor", default=None,
+                    choices=["vgg", "dfeat"],
+                    help="extractor for the CONTENT window: vgg (default; "
+                         "MaskedVGG) or dfeat — feature matching on the "
+                         "discriminator's own activations, the egress-free "
+                         "learned perceptual loss")
+    ap.add_argument("--dfeat-taps", default=None,
+                    help="comma-separated D ladder block indices the dfeat "
+                         "extractor taps (default 1,3,5)")
+    ap.add_argument("--dfeat-scale", type=float, default=None,
+                    help="extra multiplier on the dfeat content weight")
     ap.add_argument("--compute-dtype", default=None,
                     choices=["bfloat16", "float32"])
     ap.add_argument("--no-sn", action="store_true",
@@ -100,10 +111,15 @@ def config_from_args(args) -> C.TrainConfig:
         ("num_epochs", args.num_epochs), ("lr", args.lr),
         ("seed", args.seed), ("progressive_suffix", args.progressive_suffix),
         ("vgg_weights", args.vgg_weights),
+        ("content_extractor", args.content_extractor),
+        ("dfeat_scale", args.dfeat_scale),
         ("compute_dtype", args.compute_dtype),
     ]:
         if val is not None:
             updates[field] = val
+    if args.dfeat_taps is not None:
+        updates["dfeat_taps"] = tuple(
+            int(t) for t in args.dfeat_taps.split(","))
     if args.no_lr_decay:
         updates["lr_decay"] = False
     if args.augment_dihedral:
@@ -132,6 +148,16 @@ def main(argv=None):
         # site hook pins JAX_PLATFORMS=axon, so env vars don't work)
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # fail loudly within bounded time when the relay is dead instead of
+        # wedging in jax backend init (which a dead relay parks in a futex
+        # forever) — same probe as bench.py's pre-flight
+        from sisr_tpu.profiling import preflight_tpu
+        if not preflight_tpu():
+            raise SystemExit(
+                "TPU relay unreachable (pre-flight probe timed out). "
+                "Arm tools/tpu_watchdog.sh to relaunch when it returns, "
+                "or pass --cpu to train on the host backend.")
     cfg = config_from_args(args)
     print("write_root:", cfg.write_root)
     print("progressive_suffix:", cfg.progressive_suffix,

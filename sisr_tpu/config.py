@@ -220,6 +220,28 @@ class TrainConfig:
     # feature extractor (documented fallback, models/vgg.py)
     vgg_weights: Optional[str] = None
 
+    # which learned extractor serves the CONTENT window (the reference's
+    # perceptual loss role, model_content_extractor.py:33-60):
+    #   "vgg"   — MaskedVGG (pretrained weights via vgg_weights, else the
+    #             fixed-random fallback)
+    #   "dfeat" — discriminator-feature matching: L2 on D's own
+    #             intermediate activations (models/discriminator.py
+    #             discriminator_features). Needs no external weights —
+    #             the egress-free learned perceptual loss. Works for
+    #             1-channel data too (D's input is 1-channel there), so
+    #             the reference's identity substitution doesn't apply.
+    content_extractor: str = "vgg"
+    # ladder blocks tapped by the dfeat extractor (post-activation);
+    # defaults to the stride-1 blocks after each of the first three
+    # stride-2 blocks: 128/256/512 features at 1/2, 1/4, 1/8 resolution —
+    # a multi-scale spread like MaskedVGG(0b01111)'s pool taps
+    dfeat_taps: Tuple[int, ...] = (1, 3, 5)
+    # extra multiplier on the dfeat content weight: D activations are
+    # BN-normalized (O(1)) where raw VGG features are O(10..100), so the
+    # window's reference weight (1.0*f) may need rescaling to exert the
+    # same pull against the adversarial term
+    dfeat_scale: float = 1.0
+
     # opt-in 8x dihedral data augmentation for small datasets (no reference
     # analog; leak-free vs the held-out-last-batch split —
     # data/pipeline.DihedralAugmentedDataset)
@@ -261,11 +283,17 @@ class TrainConfig:
         gen_modules builds the content extractor as identity for 1-channel
         data (reference config.py:100-104), so the content window's 'vgg'
         kind resolves to 'identity' at the *content* weight (1.0*f) — the
-        identity-window weight (10.0*f) is untouched."""
+        identity-window weight (10.0*f) is untouched. With
+        content_extractor='dfeat' the content window resolves to the
+        D-feature-matching extractor instead (any channel count — no
+        substitution needed) at w_cont * dfeat_scale."""
         w_ag, w_ad, w_c, ck = self.windows.weights(
             epoch, self.content_loss_on_lr)
-        if ck == "vgg" and self.geometry()[0][0] == 1:
-            ck = "identity"
+        if ck == "vgg":
+            if self.content_extractor == "dfeat":
+                return w_ag, w_ad, w_c * self.dfeat_scale, "dfeat"
+            if self.geometry()[0][0] == 1:
+                ck = "identity"
         return w_ag, w_ad, w_c, ck
 
     def discriminator(self) -> DiscriminatorConfig:

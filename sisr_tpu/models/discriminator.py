@@ -85,6 +85,45 @@ def discriminator_sn_update(params, state):
     return ns
 
 
+def discriminator_features(params, state, x, *, cfg: DiscriminatorConfig,
+                           taps, compute_dtype=None):
+    """D-as-perceptual-extractor: post-activation outputs of the ladder
+    blocks in `taps`, flattened and concatenated to (B, -1).
+
+    The egress-free stand-in for the reference's pretrained-VGG content
+    loss (model_content_extractor.py:33-60): a feature-matching loss on the
+    discriminator's own intermediate activations reuses learned weights
+    already in the checkpoint (Salimans et al. 2016 feature matching, a
+    standard SRGAN-family variant). Behaves like MaskedVGG the extractor:
+    deterministic eval pass — BN reads running stats, SN reuses the current
+    (u, v) with no power iteration — and fully convolutional (no fc head),
+    so it accepts any input size (the unsupervised mode feeds LR-sized
+    images, reference train.py:95-97).
+
+    Gradients flow through the activations into the G image (like VGG);
+    the caller's loss must not differentiate w.r.t. D params.
+    """
+    cd = compute_dtype
+    kernel, _ = sn_normalize(params["stem"]["conv"]["kernel"],
+                             state["stem"]["conv"], train=False)
+    x = conv2d_apply(params["stem"]["conv"], x, stride=cfg.list_stride[0],
+                     padding=1, compute_dtype=cd, kernel_override=kernel)
+    x = leaky_relu(x)
+    feats = []
+    last = max(taps)
+    for i, (bp, bs) in enumerate(zip(params["blocks"], state["blocks"])):
+        kernel, _ = sn_normalize(bp["conv"]["kernel"], bs["conv"], train=False)
+        y = conv2d_apply(bp["conv"], x, stride=cfg.list_stride[i + 1],
+                         padding=1, compute_dtype=cd, kernel_override=kernel)
+        y, _ = batchnorm_apply(bp["bn"], bs["bn"], y, train=False)
+        x = leaky_relu(y)
+        if i in taps:
+            feats.append(x.astype(jnp.float32).reshape(x.shape[0], -1))
+        if i == last:
+            break
+    return jnp.concatenate(feats, axis=1)
+
+
 def discriminator_apply(params, state, x, *, train: bool, cfg: DiscriminatorConfig,
                         compute_dtype=None, bn_axis: Optional[str] = None,
                         return_logits: bool = False, sn_train: Optional[bool] = None):

@@ -28,19 +28,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> int:
+                     process_id: Optional[int] = None,
+                     init_timeout_s: Optional[float] = None) -> int:
     """Multi-host bring-up: after this, jax.devices() spans every host and
     the same make_mesh()/shard_train_step() code scales over DCN. On cloud
     TPU pods the arguments auto-detect; return the global device count."""
     import jax
 
-    if num_processes is not None and num_processes > 1:
+    explicit = (coordinator, num_processes, process_id) != (None, None, None)
+    if explicit:
+        # any explicit argument means the caller REALLY runs multi-process:
+        # misconfiguration (bad coordinator, mismatched ids) must fail
+        # loudly, not fall back to a silent single-host mesh
+        kw = {}
+        if init_timeout_s is not None:
+            kw["initialization_timeout"] = init_timeout_s
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
-                                   process_id=process_id)
+                                   process_id=process_id, **kw)
     else:
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize()  # cloud-TPU-pod auto-detect
         except Exception:
             pass  # single-process: nothing to do
     return len(jax.devices())

@@ -90,3 +90,26 @@ def flops_estimate(jitted_fn: Callable, *args) -> Optional[float]:
         return float(ca.get("flops", 0.0))
     except Exception:
         return None
+
+
+def preflight_tpu(timeout_s: float = 180.0) -> bool:
+    """Probe the TPU relay in a killable subprocess.
+
+    A dead relay parks jax backend init in a futex FOREVER (observed in a
+    ~4h round-2 outage) — even `jax.devices()` hangs — so the probe must
+    run in a subprocess that can be killed, BEFORE this process touches
+    jax. Returns True iff a trivial matmul round-trips on the TPU backend
+    within timeout_s.
+    """
+    import subprocess
+    import sys
+    probe = ("import jax, jax.numpy as jnp; "
+             "assert jax.default_backend() == 'tpu'; "
+             "assert float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()) == 512.0; "
+             "print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, timeout=timeout_s, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False

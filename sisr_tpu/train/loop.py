@@ -187,11 +187,13 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
     # (reference config.py:100-104); vgg weights from cfg.vgg_weights (npz)
     # or fixed-seed random fallback
     vgg_params = None
-    if hr_s[0] == 3:
+    if hr_s[0] == 3 and cfg.content_extractor == "vgg":
         src = cfg.vgg_weights if cfg.vgg_weights else k_vgg
         if not cfg.vgg_weights and verbose:
             print("[vgg] no pretrained weights configured — fixed random "
-                  "extractor (see tools/port_vgg_weights.py)")
+                  "extractor (see tools/port_vgg_weights.py, or "
+                  "--content-extractor dfeat for the egress-free learned "
+                  "perceptual loss)")
         vgg_params = vgg_init(src, VGGConfig(cfg.vgg_mask))
 
     # LR decay restarts at full base LR each run (reference rebuilds LambdaLR

@@ -41,7 +41,11 @@ import jax.numpy as jnp
 from jax import lax
 
 from sisr_tpu.config import TrainConfig
-from sisr_tpu.models.discriminator import discriminator_apply, discriminator_init
+from sisr_tpu.models.discriminator import (
+    discriminator_apply,
+    discriminator_features,
+    discriminator_init,
+)
 from sisr_tpu.models.generator import generator_apply, generator_init
 from sisr_tpu.models.vgg import VGGConfig, vgg_apply
 from sisr_tpu.ops.resize import lr_from_hr
@@ -70,7 +74,7 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
                     mask_g=None, jit: bool = True, sched_step0: int = 0):
     """Build one compiled variant of the train step.
 
-    cont_kind: 'vgg' | 'identity' | None. `mask_g` is a trainable-mask
+    cont_kind: 'vgg' | 'dfeat' | 'identity' | None. `mask_g` is a trainable-mask
     pytree for the generator (progressive freezing); None = all trainable.
     `sched_step0`: the run's starting global step — the LR schedule decays
     from (step - sched_step0), so resumed runs restart the decay at full
@@ -90,14 +94,29 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
     unsup = cfg.content_loss_on_lr
     if cont_kind == "vgg" and vgg_params is None:
         raise ValueError("cont_kind='vgg' requires vgg_params")
+    if cont_kind == "dfeat":
+        n_blocks_d = len(dis_cfg.list_n_features) - 1
+        if not cfg.dfeat_taps or max(cfg.dfeat_taps) >= n_blocks_d:
+            raise ValueError(
+                f"dfeat_taps {cfg.dfeat_taps} out of range for the "
+                f"{n_blocks_d}-block discriminator ladder")
 
     g_apply = functools.partial(generator_apply, cfg=gen_cfg, compute_dtype=cd)
     d_apply = functools.partial(discriminator_apply, cfg=dis_cfg, compute_dtype=cd,
                                 return_logits=True)
 
-    def extract(x):
+    def extract(x, params_d=None, state_d=None):
         if cont_kind == "vgg":
             return vgg_apply(vgg_params, x, vgg_cfg, compute_dtype=cd)
+        if cont_kind == "dfeat":
+            # D-feature matching (the egress-free perceptual loss): L2 on
+            # the discriminator's own intermediate activations. D params
+            # are a constant of the G update (the loss differentiates
+            # w.r.t. the fake image only) — like VGG, gradients flow
+            # through the activations, not into the extractor's weights.
+            return discriminator_features(params_d, state_d, x, cfg=dis_cfg,
+                                          taps=cfg.dfeat_taps,
+                                          compute_dtype=cd)
         return x.astype(jnp.float32).reshape(x.shape[0], -1)
 
     def step_fn(ts: TrainState, hr, hr_d, replay, replay_mask, weights):
@@ -211,13 +230,17 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
                     loss = loss + err_adv
                 err_cont = jnp.zeros((), jnp.float32)
                 if cont_kind is not None:
+                    # dfeat reads the freshly-updated D (like adv-G above);
+                    # its BN runs in eval mode so state_d_new is not touched
+                    ex = functools.partial(extract, params_d=params_d_new,
+                                           state_d=state_d_new)
                     if unsup:
                         fake_lr = lr_from_hr(fake_img, lr_hw)
-                        err_cont = w_cont * content_loss(extract(img_lr),
-                                                         extract(fake_lr))
+                        err_cont = w_cont * content_loss(ex(img_lr),
+                                                         ex(fake_lr))
                     else:
-                        err_cont = w_cont * content_loss(extract(hr),
-                                                         extract(fake_img))
+                        err_cont = w_cont * content_loss(ex(hr),
+                                                         ex(fake_img))
                     loss = loss + err_cont
                 return loss, (st_d, err_adv, err_cont, dgz2)
 

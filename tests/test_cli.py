@@ -68,6 +68,15 @@ def test_pixel_content_flag_swaps_windows():
     assert cfg2.windows.identity == (0, INF)
 
 
+def test_content_extractor_flags():
+    cfg = _cfg(["--content-extractor", "dfeat", "--dfeat-taps", "0,2",
+                "--dfeat-scale", "2.5"])
+    assert cfg.content_extractor == "dfeat"
+    assert cfg.dfeat_taps == (0, 2)
+    assert cfg.dfeat_scale == 2.5
+    assert _cfg([]).content_extractor == "vgg"
+
+
 def test_no_sn_flag():
     cfg = _cfg(["--no-sn"])
     assert not cfg.generator.use_sn

@@ -373,6 +373,125 @@ def test_fused_driver_store_gated_on_d():
     assert int(ts["step"]) == K and int(rs["n"]) == 0
 
 
+# ---------------------------------------------------------------------------
+# dfeat: discriminator-feature-matching content loss (the egress-free
+# learned perceptual loss; reference role: model_content_extractor.py:33-60)
+# ---------------------------------------------------------------------------
+
+
+def test_dfeat_features_are_the_real_ladder_activations(rng, monkeypatch):
+    """Tapping the LAST ladder block and appending the fc head must
+    reproduce discriminator_apply's eval logit exactly — i.e. the extractor
+    returns the discriminator's true intermediate activations, not a
+    re-derivation."""
+    import sisr_tpu.models.discriminator as D
+
+    monkeypatch.setattr(D, "FUSE_STEM", False)  # exact same op order
+    cfg = tiny_cfg()
+    dis_cfg = cfg.discriminator()
+    params, state = D.discriminator_init(jax.random.PRNGKey(3), dis_cfg)
+    x = _batch(rng, cfg, b=2)
+
+    last = len(dis_cfg.list_n_features) - 2  # final block index
+    feats = D.discriminator_features(params, state, x, cfg=dis_cfg,
+                                     taps=(last,))
+    assert feats.shape == (2, dis_cfg.fc_in)
+
+    from sisr_tpu.nn.layers import leaky_relu, linear_apply
+    h = leaky_relu(linear_apply(params["fc1"], feats))
+    logit_via_feats = linear_apply(params["fc2"], h).reshape(2)
+    logit_ref, _ = D.discriminator_apply(params, state, x, train=False,
+                                         cfg=dis_cfg, return_logits=True)
+    np.testing.assert_allclose(np.asarray(logit_via_feats),
+                               np.asarray(logit_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_dfeat_fully_convolutional_any_size(rng):
+    """No fc head -> LR-sized inputs work (the unsupervised mode feeds LR
+    images, reference train.py:95-97), and tap widths follow the ladder."""
+    from sisr_tpu.models.discriminator import (discriminator_features,
+                                               discriminator_init)
+
+    cfg = tiny_cfg()
+    dis_cfg = cfg.discriminator()
+    params, state = discriminator_init(jax.random.PRNGKey(0), dis_cfg)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32))
+    feats = discriminator_features(params, state, x, cfg=dis_cfg,
+                                   taps=(1, 3, 5))
+    # strides to taps 1/3/5 are 2/4/8; features 128/256/512
+    n = 4 * 4 * 128 + 2 * 2 * 256 + 1 * 1 * 512
+    assert feats.shape == (2, n)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_dfeat_config_resolution():
+    """content_extractor='dfeat' rewires the content window's 'vgg' kind to
+    'dfeat' at w_cont * dfeat_scale; 1-channel data keeps dfeat (no identity
+    substitution — D's input is 1-channel there too)."""
+    cfg = tiny_cfg(content_extractor="dfeat", dfeat_scale=3.0)
+    w_ag, w_ad, w_c, ck = cfg.epoch_weights(0)
+    assert ck == "dfeat" and w_c == pytest.approx(3.0)
+    import dataclasses
+    mnist = dataclasses.replace(cfg, dataset="mnist")
+    assert mnist.epoch_weights(0)[3] == "dfeat"
+    # identity windows unaffected
+    cfg2 = tiny_cfg(content_extractor="dfeat",
+                    windows=LossWindows(content=(0, 0), identity=(0, INF)))
+    assert cfg2.epoch_weights(0)[3] == "identity"
+
+
+def test_dfeat_step_trains_g_and_leaves_d_constant(rng):
+    """A cont-only dfeat step moves G (gradients flow through D's
+    activations into the fake image) while D params/opt stay bit-identical
+    (the extractor is a constant of the G update)."""
+    cfg = tiny_cfg(content_extractor="dfeat", lr=1e-3, lr_decay=False,
+                   windows=LossWindows(adv_g=(0, 0), adv_d=(0, 0),
+                                       content=(0, INF)))
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg, 100, d_active=False, g_adv_active=False,
+                           cont_kind="dfeat", jit=True)
+    hr = _batch(rng, cfg)
+    R = cfg.replay.max_samples
+    replay = jnp.zeros((R, *hr.shape), jnp.float32)
+    d_before = jax.tree_util.tree_map(np.asarray, ts["params_d"])
+    g_before = np.asarray(flatten_with_paths(ts["params_g"])["end/conv/kernel"])
+
+    losses = []
+    for _ in range(6):
+        ts, _, m = step(ts, hr, hr, replay, jnp.zeros((R,), jnp.float32),
+                        (jnp.float32(0), jnp.float32(0), jnp.float32(1.0)))
+        losses.append(float(m["errG_cont"]))
+    assert all(np.isfinite(losses)) and losses[0] > 0
+    assert losses[-1] < losses[0], losses  # feature matching descends
+    assert not np.allclose(
+        g_before, np.asarray(flatten_with_paths(ts["params_g"])["end/conv/kernel"]))
+    for a, b in zip(jax.tree_util.tree_leaves(d_before),
+                    jax.tree_util.tree_leaves(ts["params_d"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_dfeat_full_gan_step_and_tap_validation(rng):
+    cfg = tiny_cfg(content_extractor="dfeat")
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg, 100, d_active=True, g_adv_active=True,
+                           cont_kind="dfeat", jit=True)
+    hr = _batch(rng, cfg)
+    R = cfg.replay.max_samples
+    replay = jnp.asarray(rng.uniform(-1, 1, (R, *hr.shape)).astype(np.float32))
+    rmask = jnp.asarray(np.array([1.0] + [0.0] * (R - 1), np.float32))
+    ts, fake, m = step(ts, hr, hr, replay, rmask,
+                       (jnp.float32(5e-2), jnp.float32(1.0), jnp.float32(1.0)))
+    for k in ("errD", "errG_adv", "errG_cont"):
+        assert np.isfinite(float(m[k])), (k, m)
+    assert float(m["errG_cont"]) > 0
+
+    import dataclasses
+    bad = dataclasses.replace(cfg, dfeat_taps=(99,))
+    with pytest.raises(ValueError, match="dfeat_taps"):
+        make_train_step(bad, 100, d_active=True, g_adv_active=True,
+                        cont_kind="dfeat", jit=False)
+
+
 def test_lr_decay_restarts_on_resume(rng):
     """The LR schedule counts from the run's starting step (sched_step0), so
     a resumed run decays from full base LR like the reference, which
