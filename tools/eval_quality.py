@@ -36,6 +36,10 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--fresh-n", type=int, default=64,
                     help="synthetic only: images at unseen indices")
+    ap.add_argument("--fresh-root", default=None,
+                    help="file datasets: a directory of never-trained "
+                         "images (e.g. make_real_dataset's <out>/fresh) "
+                         "evaluated as the 'fresh' split")
     ap.add_argument("--label", default=None)
     ap.add_argument("--quant", action="store_true",
                     help="also evaluate the int8 quantized deploy path")
@@ -96,6 +100,10 @@ def main(argv=None):
                               range(args.synthetic_len,
                                     args.synthetic_len + args.fresh_n)])
             yield "fresh", fresh
+        elif args.fresh_root is not None:
+            fds = make_dataset(args.dataset, args.fresh_root, hr_s, None)
+            k = min(len(fds), max(args.fresh_n, args.batch_size))
+            yield "fresh", np.stack([fds[i] for i in range(k)])
 
     label = args.label or os.path.basename(os.path.dirname(args.checkpoint))
     for split, hr in batches(args.dataset):

@@ -22,9 +22,15 @@ Tiles are written as PNGs in image-folder layout, usable as
 test batch (last `batch_size` files, reference config.py:271-272) is always
 the same crops.
 
+A whole source photo can be held out as a *fresh* split
+(--fresh-sources camera, the default): its crops go to <out>/fresh/photos
+instead of <out>/photos, giving file datasets a genuinely-unseen second
+eval split (cross-image generalization) alongside the held-out-last-batch
+split — the synthetic evals' heldout/fresh pair, mirrored for real data.
+
 Usage:  python tools/make_real_dataset.py --out quality_runs/real_data_v2
-        python tools/make_real_dataset.py --out ... --stride 64 --scales 1.0
-        (reproduces the round-2 292-crop corpus)
+        python tools/make_real_dataset.py --out ... --stride 64 \
+            --scales 1.0 --fresh-sources ''   # the round-2 292-crop corpus
 """
 from __future__ import annotations
 
@@ -65,12 +71,20 @@ def main(argv=None):
     ap.add_argument("--crop", type=int, default=CROP)
     ap.add_argument("--stride", type=int, default=STRIDE)
     ap.add_argument("--scales", type=float, nargs="+", default=list(SCALES))
+    ap.add_argument("--fresh-sources", default="camera",
+                    help="comma-separated source names whose crops form the "
+                         "fresh (never-trained) split under <out>/fresh/")
     args = ap.parse_args(argv)
 
+    fresh_names = {s for s in args.fresh_sources.split(",") if s}
     out = os.path.join(args.out, "photos")
+    fresh_out = os.path.join(args.out, "fresh", "photos")
     os.makedirs(out, exist_ok=True)
-    n = 0
+    if fresh_names:
+        os.makedirs(fresh_out, exist_ok=True)
+    n = n_fresh = 0
     for name, img0 in photos():
+        dest = fresh_out if name in fresh_names else out
         for scale in args.scales:
             if scale == 1.0:
                 img, tag = img0, name
@@ -90,11 +104,15 @@ def main(argv=None):
                 for x in range(0, w - args.crop + 1, args.stride):
                     tile = img[y:y + args.crop, x:x + args.crop]
                     Image.fromarray(tile).save(
-                        os.path.join(out, f"{tag}_{y:04d}_{x:04d}.png"))
+                        os.path.join(dest, f"{tag}_{y:04d}_{x:04d}.png"))
                     Image.fromarray(tile[:, ::-1]).save(
-                        os.path.join(out, f"{tag}_{y:04d}_{x:04d}_f.png"))
-                    n += 2
-    print(f"wrote {n} crops to {out}")
+                        os.path.join(dest, f"{tag}_{y:04d}_{x:04d}_f.png"))
+                    if dest is fresh_out:
+                        n_fresh += 2
+                    else:
+                        n += 2
+    print(f"wrote {n} crops to {out}" +
+          (f" + {n_fresh} fresh crops to {fresh_out}" if n_fresh else ""))
 
 
 if __name__ == "__main__":

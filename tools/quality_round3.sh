@@ -1,0 +1,97 @@
+#!/bin/bash
+# Quality wave 9 (round 3): the dfeat learned perceptual loss + the grown
+# real-photo corpus.
+#
+# 1. dfeat_scale calibration: the round-2 x2_gan row collapsed 5 dB because
+#    the fixed-random-VGG content term was ~1e-4 — no anchor against
+#    adversarial pressure. dfeat (D-feature matching) is the egress-free
+#    learned extractor; its BN-normalized features put the raw content term
+#    at ~1e-3, so the window weight needs a calibrated multiplier. Sweep
+#    {10, 100, 1000} on the x2_gan4 recipe (x2 base + 4 adversarial
+#    epochs), pick by held-out deploy PSNR.
+# 2. x2_gan_dfeat: the full 10-adversarial-epoch x2_gan recipe (the 23.70
+#    dB round-2 row) with the winning scale — the VERDICT r2 #2 exit row.
+# 3. x4_ramp_dfeat: the x4 adversarial ramp (22.87 row) with dfeat.
+# 4. real_x2_v2 / real_x4_v2: the wave-5 augmented finetunes on the ~3.6x
+#    grown multi-scale corpus (VERDICT r2 #7), evaluated on BOTH splits
+#    (held-out last batch + the never-trained 'camera' source).
+set -u
+cd "$(dirname "$0")/.."
+export SISR_SYNTH_CACHE_GB=30
+LOG=quality_runs/watchdog.log
+log() { echo "[quality3] $(date -u +%Y-%m-%dT%H:%M:%SZ) $*" | tee -a "$LOG"; }
+
+run() {
+  local name=$1; shift
+  mkdir -p "quality_runs/$name"
+  log "run $name: $*"
+  timeout 10800 python -m sisr_tpu.cli.train "$@" \
+    --write-root "quality_runs/$name" \
+    > "quality_runs/$name/train.log" 2>&1
+  log "$name rc=$? $(grep -E 'PSNR' "quality_runs/$name/train.log" | tail -1)"
+}
+
+ev() {  # ev <name> <n_suffixes> [extra eval args...]
+  local name=$1 suf=$2; shift 2
+  [ -f "quality_runs/$name/0" ] && \
+    python tools/eval_quality.py --checkpoint "quality_runs/$name/0" \
+      --n-suffixes "$suf" --label "$name" "$@" 2>/dev/null \
+      | tee -a quality_runs/eval_r3.jsonl
+}
+
+# ---- 1. dfeat scale calibration (x2 base + 4 adversarial epochs) --------
+for s in 10 100 1000; do
+  run "x2_dfeat_s$s" --preset x2_gan --checkpoint quality_runs/x2/0 \
+    --dataset synthetic --synthetic-len 2048 --batch-size 16 \
+    --num-epochs 4 --seed 44 --content-extractor dfeat --dfeat-scale "$s"
+  ev "x2_dfeat_s$s" 0 --synthetic-len 2048 --fresh-n 64
+done
+
+BEST=$(python - <<'EOF'
+import json
+best, best_p = 100, -1
+for line in open("quality_runs/eval_r3.jsonl"):
+    try: r = json.loads(line)
+    except Exception: continue
+    if r.get("split") == "heldout" and r.get("label", "").startswith("x2_dfeat_s"):
+        if r["psnr_deploy"] > best_p:
+            best_p, best = r["psnr_deploy"], int(r["label"].split("_s")[1])
+print(best)
+EOF
+)
+log "dfeat calibration winner: scale $BEST"
+
+# ---- 2. full x2_gan recipe with dfeat ------------------------------------
+run x2_gan_dfeat --preset x2_gan --checkpoint quality_runs/x2/0 \
+  --dataset synthetic --synthetic-len 2048 --batch-size 16 \
+  --num-epochs 10 --seed 44 --content-extractor dfeat --dfeat-scale "$BEST"
+ev x2_gan_dfeat 0 --synthetic-len 2048 --fresh-n 64
+
+# ---- 3. x4 adversarial ramp with dfeat (round-2 anchor: x4_v3) -----------
+run x4_ramp_dfeat --preset x4_ramp --ramp-epoch 161 \
+  --checkpoint quality_runs/x4_v3/0 \
+  --dataset synthetic --synthetic-len 8192 --batch-size 16 \
+  --num-epochs 4 --seed 50 --content-extractor dfeat --dfeat-scale "$BEST"
+ev x4_ramp_dfeat 1 --synthetic-len 8192 --fresh-n 64
+
+# ---- 4. grown real-photo corpus ------------------------------------------
+DATA=quality_runs/real_data_v2
+[ -d "$DATA/photos" ] || python tools/make_real_dataset.py --out "$DATA"
+
+run real_x2_v2 --preset x2_mse --checkpoint quality_runs/x2/0 \
+  --dataset celeba --data-root "$DATA" --batch-size 16 \
+  --num-epochs 60 --lr 1e-4 --seed 64 --fused-steps 8 --augment-dihedral
+ev real_x2_v2 0 --dataset celeba --data-root "$DATA" --fresh-root "$DATA/fresh"
+
+# best x4 base: the data-scaled x4_v5 if the recovery legs produced it,
+# else the round-2 x4_v3
+X4=$(ls -v quality_runs/x4_v5/[0-9]* 2>/dev/null | tail -1)
+[ -z "$X4" ] && X4=quality_runs/x4_v3/0
+log "real_x4_v2 base: $X4"
+run real_x4_v2 --preset x2_mse --progressive-suffix 2 \
+  --checkpoint "$X4" \
+  --dataset celeba --data-root "$DATA" --batch-size 16 \
+  --num-epochs 60 --lr 1e-4 --seed 65 --fused-steps 8 --augment-dihedral
+ev real_x4_v2 1 --dataset celeba --data-root "$DATA" --fresh-root "$DATA/fresh"
+
+log "quality wave 9 done"
