@@ -325,3 +325,34 @@ def make_fused_stem(interpret: bool = False, compute_dtype=jnp.bfloat16,
 
     f.defvjp(fwd, bwd)
     return f
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_stem_padded(interpret: bool = False,
+                           compute_dtype=jnp.bfloat16, slope: float = 0.01,
+                           ci_pad: int = 16):
+    """fused stem with C_in zero-padded to `ci_pad` lanes (exact math:
+    zero input channels multiply zero weight rows).
+
+    Round-3 bounded kernel re-attempt (VERDICT r2 next #3i): the measured
+    gap of the P=4 grid-over-batch MXU kernel vs XLA is the *patch
+    assembly* — 9 shifted copies concatenated at ci=12-lane offsets into
+    the (M, 9*ci) im2col buffer, sub-sublane-aligned VPU relayouts. At
+    ci=16 every write lands 16-aligned (and the im2col buffer is 144
+    lanes = a clean 128+16 tiling); dot-A pays +33% K FLOPs on zeros
+    (~0.15 ms at the D-update shape) against the hoped-for assembly win.
+    Padding/slicing live OUTSIDE the custom-VJP (jnp.pad's vjp slices dxs
+    back to ci channels automatically), so the kernels are untouched.
+    Measured by tools/bench_fused_stem.py --padded.
+    """
+    base = make_fused_stem(interpret, compute_dtype, slope)
+
+    def f(xs, wa, ba, wb, bb):
+        ci = xs.shape[-1]
+        if ci >= ci_pad:
+            return base(xs, wa, ba, wb, bb)
+        xs_p = jnp.pad(xs, ((0, 0), (0, 0), (0, 0), (0, ci_pad - ci)))
+        wa_p = jnp.pad(wa, ((0, 0), (0, 0), (0, ci_pad - ci), (0, 0)))
+        return base(xs_p, wa_p, ba, wb, bb)
+
+    return f

@@ -56,6 +56,35 @@ def test_grads_interpret():
                                    rtol=1e-4, atol=1e-4, err_msg=name)
 
 
+def test_padded_variant_exact_interpret():
+    """make_fused_stem_padded (C_in zero-padded to 16 lanes for aligned
+    patch assembly) is exact vs the unpadded kernel — forward AND all five
+    gradients (dxs sliced back through jnp.pad's vjp)."""
+    from sisr_tpu.ops.pallas.fused_stem import make_fused_stem_padded
+
+    args = _args(3)
+    f = make_fused_stem(interpret=True, compute_dtype=jnp.float32,
+                        slope=SLOPE)
+    fp = make_fused_stem_padded(interpret=True, compute_dtype=jnp.float32,
+                                slope=SLOPE)
+    np.testing.assert_allclose(np.asarray(fp(*args)), np.asarray(f(*args)),
+                               rtol=1e-6, atol=1e-6)
+
+    rng = np.random.default_rng(4)
+    g = jnp.asarray(rng.normal(0, 1, (B, H, W, CO)).astype(np.float32))
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a) * g)
+
+    for gp, gr, name in zip(
+            jax.grad(loss(fp), argnums=(0, 1, 2, 3, 4))(*args),
+            jax.grad(loss(f), argnums=(0, 1, 2, 3, 4))(*args),
+            ("dxs", "dwa", "dba", "dwb", "dbb")):
+        assert gp.shape == gr.shape, name
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
 def test_vmap_interpret():
     """The D update vmaps discriminator_apply over 12 slots; the pallas op
     must batch correctly (fwd and bwd)."""

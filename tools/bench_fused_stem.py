@@ -23,7 +23,10 @@ from sisr_tpu.nn.layers import (
     _s2d_kernel_stride2,
     space_to_depth2,
 )
-from sisr_tpu.ops.pallas.fused_stem import make_fused_stem
+from sisr_tpu.ops.pallas.fused_stem import (
+    make_fused_stem,
+    make_fused_stem_padded,
+)
 
 B, HW, NF = 192, 128, 64
 CD = jnp.bfloat16
@@ -52,11 +55,19 @@ def main():
         return y + b0.astype(y.dtype)
 
     f = make_fused_stem(interpret=False, compute_dtype=CD, slope=SLOPE)
+    fp = make_fused_stem_padded(interpret=False, compute_dtype=CD,
+                                slope=SLOPE)
 
     def region_pallas(xs_in, k_stem, b_stem, k0, b0):
         return f(xs_in, _s2d_kernel_stride1_phases(k_stem).astype(CD),
                  jnp.tile(b_stem, 4), _s2d_kernel_stride2(k0).astype(CD),
                  b0)
+
+    def region_pallas_pad16(xs_in, k_stem, b_stem, k0, b0):
+        # lane-aligned patch assembly: C_in zero-padded 12 -> 16
+        return fp(xs_in, _s2d_kernel_stride1_phases(k_stem).astype(CD),
+                  jnp.tile(b_stem, 4), _s2d_kernel_stride2(k0).astype(CD),
+                  b0)
 
     def wgrad(region):
         def loss(xs_in, k_stem, b_stem, k0, b0):
@@ -65,7 +76,8 @@ def main():
         return jax.value_and_grad(loss, argnums=(1, 2, 3, 4))
 
     res = {}
-    for name, region in (("xla", region_xla), ("pallas", region_pallas)):
+    for name, region in (("xla", region_xla), ("pallas", region_pallas),
+                         ("pallas_pad16", region_pallas_pad16)):
         dt = chain_timed(region, xs, k_stem, b_stem, k0, b0, iters=30)
         res[f"{name}_fwd_ms"] = round(dt * 1e3, 3)
         dt = chain_timed(wgrad(region), xs, k_stem, b_stem, k0, b0,

@@ -48,6 +48,7 @@ def main():
 
     rows = []
     for batch, use_pallas in ((16, False), (16, True), (64, False)):
+      try:
         lr = jnp.asarray(rng.uniform(-1, 1, (batch, lr_s[1], lr_s[2], lr_s[0]))
                          .astype(np.float32))
         infer = make_deploy_fn(ts["params_g"], ts["state_g"], cfg.generator,
@@ -84,6 +85,9 @@ def main():
             })
         rows.append(row)
         print(json.dumps(row), flush=True)
+      except Exception as e:  # e.g. pallas variant on a non-TPU backend
+        print(json.dumps({"variant": ("pallas_trunk" if use_pallas else "xla"),
+                          "batch": batch, "error": str(e)[:200]}), flush=True)
 
     print(json.dumps({"peak_tf_s": PEAK_FLOPS / 1e12,
                       "peak_gb_s": PEAK_BW / 1e9, "rows": rows}))
