@@ -18,6 +18,14 @@ import jax  # noqa: E402
 # the axon site hook pins jax_platforms=axon; override it for the test suite
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite's big GAN-step compiles (~2 min
+# each on this 1-core host) hit the cache on re-runs. Safe fallback: cache
+# errors degrade to a normal compile. Dir is gitignored.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
