@@ -1,7 +1,8 @@
 """Aggregate tools/eval_quality.py JSONL lines into a markdown table.
 
 Usage:
-  python tools/quality_table.py /tmp/eval_quality.jsonl [--split heldout]
+  python tools/quality_table.py quality_runs/eval_r2_fixed.jsonl \
+      quality_runs/eval_r3.jsonl [--split heldout]
 """
 from __future__ import annotations
 
@@ -11,17 +12,18 @@ import json
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("jsonl")
+    ap.add_argument("jsonl", nargs="+")
     ap.add_argument("--split", default=None,
                     help="only rows for this split (default: all)")
     args = ap.parse_args(argv)
 
     rows = []
-    with open(args.jsonl) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                rows.append(json.loads(line))
+    for path in args.jsonl:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
     if args.split:
         rows = [r for r in rows if r["split"] == args.split]
 
