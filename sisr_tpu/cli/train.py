@@ -72,6 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "extractor taps (default 1,3,5)")
     ap.add_argument("--dfeat-scale", type=float, default=None,
                     help="extra multiplier on the dfeat content weight")
+    ap.add_argument("--d-features", default=None,
+                    help="comma-separated discriminator ladder features "
+                         "(default SRGAN 64,64,128,128,256,256,512,512); "
+                         "datasets whose HR size doesn't divide the total "
+                         "stride (mnist 28x28) need a shorter ladder, e.g. "
+                         "--d-features 64,64,128,128 --d-strides 1,2,1,2")
+    ap.add_argument("--d-strides", default=None,
+                    help="comma-separated discriminator ladder strides")
     ap.add_argument("--compute-dtype", default=None,
                     choices=["bfloat16", "float32"])
     ap.add_argument("--no-sn", action="store_true",
@@ -120,6 +128,12 @@ def config_from_args(args) -> C.TrainConfig:
     if args.dfeat_taps is not None:
         updates["dfeat_taps"] = tuple(
             int(t) for t in args.dfeat_taps.split(","))
+    if args.d_features is not None:
+        updates["d_features"] = tuple(
+            int(t) for t in args.d_features.split(","))
+    if args.d_strides is not None:
+        updates["d_strides"] = tuple(
+            int(t) for t in args.d_strides.split(","))
     if args.no_lr_decay:
         updates["lr_decay"] = False
     if args.augment_dihedral:

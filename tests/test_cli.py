@@ -77,6 +77,15 @@ def test_content_extractor_flags():
     assert _cfg([]).content_extractor == "vgg"
 
 
+def test_d_ladder_flags():
+    cfg = _cfg(["--dataset", "mnist", "--d-features", "64,64,128,128",
+                "--d-strides", "1,2,1,2"])
+    assert cfg.d_features == (64, 64, 128, 128)
+    assert cfg.d_strides == (1, 2, 1, 2)
+    d = cfg.discriminator()  # mnist 28x28 passes the divisibility contract
+    assert d.fc_in == (28 // 4) ** 2 * 128
+
+
 def test_no_sn_flag():
     cfg = _cfg(["--no-sn"])
     assert not cfg.generator.use_sn

@@ -36,6 +36,13 @@ def main(argv=None):
                          "healthy MSE-pretrained x2/0) while D comes from "
                          "--checkpoint")
     ap.add_argument("--taps", default="1,3,5")
+    ap.add_argument("--dataset", default="synthetic")
+    ap.add_argument("--d-features", default=None)
+    ap.add_argument("--d-strides", default=None)
+    ap.add_argument("--identity-weight", type=float, default=10.0,
+                    help="weight of the pixel-identity anchor to match "
+                         "(10 = the 3-channel identity window; 1 = the "
+                         "1-channel content-window substitution)")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--synthetic-len", type=int, default=2048)
     ap.add_argument("--cpu", action="store_true")
@@ -58,8 +65,16 @@ def main(argv=None):
     from sisr_tpu.train.step import init_train_state
 
     taps = tuple(int(t) for t in args.taps.split(","))
-    cfg = C.preset_x2_gan("synthetic")
+    kw = {}
+    if args.d_features:
+        kw["d_features"] = tuple(int(t) for t in args.d_features.split(","))
+    if args.d_strides:
+        kw["d_strides"] = tuple(int(t) for t in args.d_strides.split(","))
+    import dataclasses
+    cfg = C.preset_x2_gan(args.dataset, **kw)
     hr_s, lr_s = cfg.geometry()
+    cfg = dataclasses.replace(cfg, generator=dataclasses.replace(
+        cfg.generator, input_channels=hr_s[0]))  # mnist is 1-channel
     dis_cfg = cfg.discriminator()
     ts = init_train_state(jax.random.PRNGKey(0), cfg)
     ckpt = load_checkpoint(args.checkpoint)
@@ -89,10 +104,12 @@ def main(argv=None):
                                        compute_dtype=cd, return_logits=True)
         return 5e-2 * bce_with_logits(logit, 1.0)
 
-    def l_identity(f):  # the known-good 10x pixel anchor
+    wid = args.identity_weight
+
+    def l_identity(f):  # the known-good pixel anchor
         a = hr.astype(jnp.float32).reshape(hr.shape[0], -1)
-        return 10.0 * content_loss(a, f.astype(jnp.float32)
-                                   .reshape(f.shape[0], -1))
+        return wid * content_loss(a, f.astype(jnp.float32)
+                                  .reshape(f.shape[0], -1))
 
     def l_dfeat(f):
         ex = lambda x: discriminator_features(  # noqa: E731
@@ -101,14 +118,15 @@ def main(argv=None):
 
     out = {"checkpoint": args.checkpoint, "taps": list(taps)}
     norms = {}
-    for name, fn in (("adv@5e-2", l_adv), ("identity@10", l_identity),
+    id_key = f"identity@{wid:g}"
+    for name, fn in (("adv@5e-2", l_adv), (id_key, l_identity),
                      ("dfeat@1", l_dfeat)):
         val, g = jax.jit(jax.value_and_grad(fn))(fake)
         norms[name] = float(jnp.linalg.norm(g.astype(jnp.float32)))
         out[f"loss_{name}"] = round(float(val), 6)
         out[f"gnorm_{name}"] = float(f"{norms[name]:.3e}")
     out["recommended_dfeat_scale"] = round(
-        norms["identity@10"] / max(norms["dfeat@1"], 1e-30), 1)
+        norms[id_key] / max(norms["dfeat@1"], 1e-30), 2)
     out["dfeat_vs_adv"] = round(
         norms["dfeat@1"] / max(norms["adv@5e-2"], 1e-30), 4)
     print(json.dumps(out))
