@@ -492,6 +492,29 @@ def test_dfeat_full_gan_step_and_tap_validation(rng):
                         cont_kind="dfeat", jit=False)
 
 
+def test_dfeat_fused_multi_step(rng):
+    """dfeat composes with the fused K-step scan driver (--fused-steps)."""
+    from sisr_tpu.train.multi_step import init_replay_state, make_multi_step
+
+    import dataclasses
+    cfg = tiny_cfg(content_extractor="dfeat", lr=1e-3, lr_decay=False)
+    cfg = dataclasses.replace(cfg, replay=ReplayConfig(max_len=10,
+                                                       sample_ratio=0.2))
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    hr_s, _ = cfg.geometry()
+    B, K = 2, 3
+    rs = init_replay_state(cfg, (B, hr_s[1], hr_s[2], hr_s[0]))
+    fused = make_multi_step(cfg, 100, k_steps=K, d_active=True,
+                            g_adv_active=True, cont_kind="dfeat")
+    hrs = jnp.asarray(rng.uniform(-1, 1, (K, B, hr_s[1], hr_s[2], hr_s[0]))
+                      .astype(np.float32))
+    w = (jnp.float32(5e-2), jnp.float32(1.0), jnp.float32(1.0))
+    ts, rs, m = fused(ts, rs, hrs, hrs, w)
+    assert int(ts["step"]) == K
+    assert np.isfinite(np.asarray(m["errG_cont"])).all()
+    assert float(np.asarray(m["errG_cont"]).min()) > 0
+
+
 def test_lr_decay_restarts_on_resume(rng):
     """The LR schedule counts from the run's starting step (sched_step0), so
     a resumed run decays from full base LR like the reference, which
