@@ -126,6 +126,48 @@ def main():
         "l1/nchw_bf16",
         timed_grad(lambda x, w: conv_nchw(x, w, stride=2), w1c, x1c), gf1))
 
+    # stride-2 as explicit patches+dot (XLA materializes the im2col and
+    # runs a dense GEMM — different lowering than the strided conv; the
+    # wgrad in particular becomes a plain dot_general transpose)
+    def conv_patches_s2(x, w, cin):
+        p = lax.conv_general_dilated_patches(
+            x.astype(jnp.bfloat16), (3, 3), (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        wf = jnp.transpose(w.astype(jnp.bfloat16), (2, 0, 1, 3)) \
+            .reshape(cin * 9, w.shape[3])
+        return jax.lax.dot_general(p, wf, (((3,), (0,)), ((), ())))
+
+    results.append(report(
+        "l1/patches_dot",
+        timed_grad(lambda x, w: conv_patches_s2(x, w, C1), w1, x1), gf1))
+    # without dx (real/replay D-update slots never need input grads)
+    results.append(report(
+        "l1/nhwc_bf16_fwd_dw_only",
+        timed_grad(lambda x, w: conv_nhwc(x, w, stride=2), w1, x1,
+                   argnums=(0,)), gf1))
+
+    # --------------------------------------------- l3 (128->128 @64² s2)
+    # the next starved stride-2 layer (43 TF/s, ~2.3 ms headroom at b192)
+    C3, H3 = 128, 64
+    gf3 = 2 * B * 32 * 32 * 9 * C3 * C3 / 1e9
+    x3 = jnp.asarray(rng.normal(0, 1, (B, H3, H3, C3)).astype(np.float32))
+    w3 = jnp.asarray(rng.normal(0, 0.05, (3, 3, C3, C3)).astype(np.float32))
+    results.append(report(
+        "l3/nhwc_bf16",
+        timed_grad(lambda x, w: conv_nhwc(x, w, stride=2), w3, x3), gf3))
+    x3c = jnp.transpose(x3, (0, 3, 1, 2))
+    w3c = jnp.transpose(w3, (3, 2, 0, 1))
+    results.append(report(
+        "l3/nchw_bf16",
+        timed_grad(lambda x, w: conv_nchw(x, w, stride=2), w3c, x3c), gf3))
+    results.append(report(
+        "l3/patches_dot",
+        timed_grad(lambda x, w: conv_patches_s2(x, w, C3), w3, x3), gf3))
+    results.append(report(
+        "l3/nhwc_bf16_fwd_dw_only",
+        timed_grad(lambda x, w: conv_nhwc(x, w, stride=2), w3, x3,
+                   argnums=(0,)), gf3))
+
     print(json.dumps({"batch": B, "rows": results}))
 
 

@@ -44,7 +44,7 @@ ev() {  # ev <name> <n_suffixes> [extra eval args...]
 }
 
 # ---- 1. dfeat scale calibration (x2 base + 4 adversarial epochs) --------
-for s in 1 10 100; do
+for s in 0.3 1 10 100; do
   run "x2_dfeat_s$s" --preset x2_gan --checkpoint quality_runs/x2/0 \
     --dataset synthetic --synthetic-len 2048 --batch-size 16 \
     --num-epochs 4 --seed 44 --content-extractor dfeat --dfeat-scale "$s"
@@ -53,13 +53,13 @@ done
 
 BEST=$(python - <<'EOF'
 import json
-best, best_p = 100, -1
+best, best_p = "100", -1
 for line in open("quality_runs/eval_r3.jsonl"):
     try: r = json.loads(line)
     except Exception: continue
     if r.get("split") == "heldout" and r.get("label", "").startswith("x2_dfeat_s"):
         if r["psnr_deploy"] > best_p:
-            best_p, best = r["psnr_deploy"], int(r["label"].split("_s")[1])
+            best_p, best = r["psnr_deploy"], r["label"].split("_s")[1]
 print(best)
 EOF
 )
