@@ -33,6 +33,10 @@ REF_A100_TRAIN_MPS = 3.0
 REF_A100_TRAIN_MPS_IDEAL = 5.0
 REF_A100_INFER_MPS = 140.0
 
+#: v5e single-chip peaks (public spec): 197 TF/s bf16 MXU, 819 GB/s HBM.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_GBS = 819e9
+
 
 def _preflight_tpu(wait_s: float = 1200.0) -> bool:
     """The axon relay can drop and leave jax backend init parked in a
@@ -137,7 +141,7 @@ def main():
     # losing fused-upscale kernel: tools/bench_deploy_variants.py.
     from sisr_tpu.infer import make_deploy_fn
 
-    def time_deploy(x0, iters, use_pallas_trunk):
+    def time_deploy(x0, iters, use_pallas_trunk, cost=None):
         infer = make_deploy_fn(ts["params_g"], ts["state_g"], cfg.generator,
                                use_pallas_trunk=use_pallas_trunk,
                                compute_dtype=jnp.bfloat16)
@@ -146,6 +150,20 @@ def main():
         def infer_chained(x):
             y = infer(x)
             return x + (jnp.mean(y) * 0).astype(x.dtype)
+
+        if cost is not None:
+            # XLA cost analysis of the compiled serving computation:
+            # flops -> MFU, bytes accessed -> HBM roofline fraction
+            # (VERDICT r2 next #4). Best-effort: the relay backend may
+            # not expose cost_analysis.
+            try:
+                ca = jax.jit(infer_chained).lower(x0).compile().cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                cost["flops"] = float(ca.get("flops", 0.0))
+                cost["bytes"] = float(ca.get("bytes accessed", 0.0))
+            except Exception:
+                pass
 
         x = x0
         for _ in range(5):
@@ -157,7 +175,8 @@ def main():
         _ = float(jnp.sum(x))
         return (time.perf_counter() - t0) / iters
 
-    dt_xla = time_deploy(lr, 100, False)
+    cost16 = {}
+    dt_xla = time_deploy(lr, 100, False, cost=cost16)
     dt_pallas = time_deploy(lr, 100, True)
     infer_dt = min(dt_xla, dt_pallas)
     infer_kind = "pallas_trunk" if dt_pallas < dt_xla else "xla"
@@ -166,7 +185,19 @@ def main():
     # serving throughput at batch 64 (amortizes the per-dispatch floor);
     # XLA wins at this batch (tools/bench_deploy_variants.py)
     lr64 = jnp.tile(lr, (4, 1, 1, 1))
-    infer64_mps = 4 * mp_per_batch / time_deploy(lr64, 50, False)
+    cost64 = {}
+    dt64 = time_deploy(lr64, 50, False, cost=cost64)
+    infer64_mps = 4 * mp_per_batch / dt64
+
+    def mfu_extras(cost, dt, prefix):
+        out = {}
+        if cost.get("flops"):
+            out[f"{prefix}_mfu"] = round(
+                cost["flops"] / dt / V5E_PEAK_BF16_FLOPS, 4)
+        if cost.get("bytes"):
+            out[f"{prefix}_hbm_frac"] = round(
+                cost["bytes"] / dt / V5E_HBM_GBS, 4)
+        return out
 
     result = {
         "metric": "celeba_x4_train_mps_per_chip",
@@ -186,6 +217,8 @@ def main():
             "hr": hr_s,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+            **mfu_extras(cost16, dt_xla, "infer_b16"),
+            **mfu_extras(cost64, dt64, "infer_b64"),
         },
     }
     print(json.dumps(result))
