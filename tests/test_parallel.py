@@ -70,6 +70,54 @@ def test_dp_step_matches_single_device(rng):
                                    rtol=1e-3, atol=2.5 * 1e-3, err_msg=p)
 
 
+def test_dp_dfeat_step_matches_single_device(rng):
+    """The dfeat (D-feature-matching) content loss under data parallelism:
+    the sharded step must match single-device — discriminator_features runs
+    an eval-mode D pass inside the G update, and its global feature-MSE
+    must reduce across shards via GSPMD, not silently per-shard."""
+    import dataclasses
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(cfg, content_extractor="dfeat",
+                              d_features=(8, 16), d_strides=(1, 2),
+                              dfeat_taps=(0,), dfeat_scale=2.0)
+    ts1 = init_train_state(jax.random.PRNGKey(0), cfg)
+    ts2 = jax.tree_util.tree_map(jnp.copy, ts1)
+
+    hr_s, _ = cfg.geometry()
+    b = 8
+    hr = rng.uniform(-1, 1, (b, hr_s[1], hr_s[2], hr_s[0])).astype(np.float32)
+    R = cfg.replay.max_samples
+    replay = rng.uniform(-1, 1, (R, b, hr_s[1], hr_s[2], hr_s[0])).astype(np.float32)
+    rmask = np.array([1.0] + [0.0] * (R - 1), np.float32)
+    w = (jnp.float32(5e-2), jnp.float32(1.0), jnp.float32(2.0))
+
+    step1 = make_train_step(cfg, 100, d_active=True, g_adv_active=True,
+                            cont_kind="dfeat", jit=True)
+    ts1, fake1, m1 = step1(ts1, jnp.asarray(hr), jnp.asarray(hr),
+                           jnp.asarray(replay), jnp.asarray(rmask), w)
+
+    mesh = make_mesh()
+    raw = make_train_step(cfg, 100, d_active=True, g_adv_active=True,
+                          cont_kind="dfeat", jit=False)
+    step8 = shard_train_step(raw, mesh, donate=False)
+    hr_sh = shard_batch(mesh, jnp.asarray(hr))
+    ts2, fake8, m8 = step8(ts2, hr_sh, hr_sh, jnp.asarray(replay),
+                           jnp.asarray(rmask), w)
+
+    assert float(m1["errG_cont"]) > 0.0  # the dfeat term is live
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=3e-3,
+                                   atol=1e-4, err_msg=k)
+    np.testing.assert_allclose(np.asarray(fake1), np.asarray(fake8),
+                               rtol=1e-3, atol=1e-4)
+    f1 = flatten_with_paths(ts1["params_g"])
+    f8 = flatten_with_paths(ts2["params_g"])
+    for p in f1:
+        np.testing.assert_allclose(np.asarray(f1[p]), np.asarray(f8[p]),
+                                   rtol=1e-3, atol=2.5 * 1e-3, err_msg=p)
+
+
 def test_dp_fused_driver_matches_single_device(rng):
     """The fused K-step scan driver composed with the mesh: DP-fused must
     match single-device-fused (the production path must not silently run
