@@ -52,14 +52,15 @@ for s in 0.3 1 10 100; do
 done
 
 BEST=$(python - <<'EOF'
-import json
-best, best_p = "100", -1
-for line in open("quality_runs/eval_r3.jsonl"):
-    try: r = json.loads(line)
-    except Exception: continue
-    if r.get("split") == "heldout" and r.get("label", "").startswith("x2_dfeat_s"):
-        if r["psnr_deploy"] > best_p:
-            best_p, best = r["psnr_deploy"], r["label"].split("_s")[1]
+import json, os
+best, best_p = "1", -1  # fallback: calibration says O(1)
+if os.path.exists("quality_runs/eval_r3.jsonl"):
+    for line in open("quality_runs/eval_r3.jsonl"):
+        try: r = json.loads(line)
+        except Exception: continue
+        if r.get("split") == "heldout" and r.get("label", "").startswith("x2_dfeat_s"):
+            if r["psnr_deploy"] > best_p:
+                best_p, best = r["psnr_deploy"], r["label"].split("_s")[1]
 print(best)
 EOF
 )
