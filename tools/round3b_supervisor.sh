@@ -1,0 +1,47 @@
+#!/bin/bash
+# Supervise tools/round3b_chain.sh across relay outages. The chain's legs
+# are idempotent (finished legs skip on relaunch), so the recovery policy
+# is simply: probe the chip, run the chain, check whether the round's key
+# outputs all exist; if not, wait and relaunch. Exits when done or after
+# MAX_PASSES (a wedged-forever relay shouldn't spin this script all night
+# — each pass already burns leg-level timeouts).
+set -u
+cd "$(dirname "$0")/.."
+LOG=quality_runs/watchdog.log
+log() { echo "[super3b] $(date -u +%Y-%m-%dT%H:%M:%SZ) $*" | tee -a "$LOG"; }
+
+probe() {
+  timeout 120 python -c "
+import jax, jax.numpy as jnp
+assert jax.default_backend() == 'tpu'
+assert float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()) == 128.0 ** 3
+print('TPU OK')" 2>/dev/null | grep -q "TPU OK"
+}
+
+done_yet() {
+  ls quality_runs/x2r3/[0-9]* >/dev/null 2>&1 &&
+  ls quality_runs/x2_gan_dfeat/[0-9]* >/dev/null 2>&1 &&
+  ls quality_runs/x4b/[0-9]* >/dev/null 2>&1 &&
+  ls quality_runs/x4_ramp_dfeat/[0-9]* >/dev/null 2>&1 &&
+  ls quality_runs/real_x4_v2/[0-9]* >/dev/null 2>&1 &&
+  [ -s quality_runs/perf_r3/l01_layouts.jsonl ] &&
+  [ -s quality_runs/perf_r3/infer_roofline.jsonl ]
+}
+
+MAX_PASSES=${MAX_PASSES:-30}
+pass=0
+log "supervisor start (max $MAX_PASSES passes)"
+while [ "$pass" -lt "$MAX_PASSES" ]; do
+  pass=$((pass + 1))
+  if probe; then
+    log "pass $pass: chip answers — running chain"
+    bash tools/round3b_chain.sh
+    log "pass $pass: chain exited rc=$?"
+    if done_yet; then log "all key outputs present — supervisor done"; exit 0; fi
+  else
+    log "pass $pass: TPU unreachable"
+  fi
+  sleep 180
+done
+log "supervisor gave up after $MAX_PASSES passes"
+exit 1
