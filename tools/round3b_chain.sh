@@ -91,9 +91,12 @@ if ! bench_healthy; then
 fi
 
 # ---- 1. x2 base (wave-1 recipe: 80-epoch MSE, seed 42) --------------------
+# --lr 2e-4 is load-bearing: TrainConfig.lr defaults to the reference's
+# GAN lr (1e-5, config.py:38); the wave-1 MSE pretrain ran at 2e-4 (first
+# rebuild attempt at the default plateaued 4 dB low — x2r3_lr1e5).
 run x2r3 4800 --preset x2_mse \
   --dataset synthetic --synthetic-len 2048 --batch-size 16 \
-  --num-epochs 80 --seed 42 --fused-steps 8
+  --num-epochs 80 --lr 2e-4 --seed 42 --fused-steps 8
 X2=$(latest x2r3)
 keep x2 "$X2"
 ev x2r3 0 --synthetic-len 2048 --fresh-n 64
@@ -129,6 +132,16 @@ if need "$X2" x2_gan_dfeat; then
     --dataset synthetic --synthetic-len 2048 --batch-size 16 \
     --num-epochs 10 --seed 44 --content-extractor dfeat --dfeat-scale "$BEST"
   ev x2_gan_dfeat 0 --synthetic-len 2048 --fresh-n 64
+fi
+
+# ---- 3b. control: same base/seed/epochs, fixed-random extractor ----------
+# makes the dfeat A/B self-contained in round 3 (round-2's 23.70-dB
+# x2_gan row came from a different base checkpoint)
+if need "$X2" x2_gan_rand; then
+  run x2_gan_rand 7200 --preset x2_gan --checkpoint "$X2" \
+    --dataset synthetic --synthetic-len 2048 --batch-size 16 \
+    --num-epochs 10 --seed 44
+  ev x2_gan_rand 0 --synthetic-len 2048 --fresh-n 64
 fi
 
 # ---- 4. perf wave (bounded measurements; VERDICT r2 next #3/#4) -----------
