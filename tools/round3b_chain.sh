@@ -113,15 +113,26 @@ fi
 
 BEST=$(python - <<'EOF'
 import json, os
-best, best_p = "1", -1  # fallback: calibration says O(1)
+# Selection rule: the SMALLEST dfeat scale whose held-out deploy PSNR
+# still matches bicubic — i.e. maximal adversarial freedom subject to not
+# losing the content anchor (a huge scale trivially maxes PSNR by turning
+# the recipe into an MSE finetune, defeating the point of the GAN row).
+# Fallback when no scale clears bicubic: the max-PSNR scale.
+rows = []
 if os.path.exists("quality_runs/eval_r3.jsonl"):
     for line in open("quality_runs/eval_r3.jsonl"):
         try: r = json.loads(line)
         except Exception: continue
         if r.get("split") == "heldout" and r.get("label", "").startswith("x2_dfeat_s"):
-            if r["psnr_deploy"] > best_p:
-                best_p, best = r["psnr_deploy"], r["label"].split("_s")[1]
-print(best)
+            rows.append((float(r["label"].split("_s")[1]),
+                         r["psnr_deploy"], r.get("psnr_bicubic", 28.9)))
+ok = [s for s, p, b in rows if p >= b - 0.05]
+if ok:
+    print(min(ok))
+elif rows:
+    print(max(rows, key=lambda t: t[1])[0])
+else:
+    print(1)  # calibration fallback: gradient matching says O(1)
 EOF
 )
 log "dfeat calibration winner: scale $BEST"
@@ -167,9 +178,12 @@ fi
 
 # ---- 5. x4 rebuild: growth (wave-1) + low-LR continuation (wave-2) --------
 if need "$X2" x4-growth; then
+  # --lr 2e-4 as the wave-1 growth leg (same MSE-pretrain lr as the x2
+  # base and the equal-budget x4_scratch comparison; the config default
+  # 1e-5 is the reference's GAN lr — see the x2r3 note above)
   run x4a 7200 --preset x2_mse --progressive-suffix 1 --checkpoint "$X2" \
     --dataset synthetic --synthetic-len 8192 --batch-size 16 \
-    --num-epochs 40 --seed 45 --fused-steps 8
+    --num-epochs 40 --lr 2e-4 --seed 45 --fused-steps 8
 fi
 X4A=$(latest x4a)
 if need "$X4A" x4-continuation; then
