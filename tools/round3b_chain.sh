@@ -38,7 +38,13 @@ else
   log "compilation cache canary failed — running without"
 fi
 
-latest() { ls -v "quality_runs/$1"/[0-9]* 2>/dev/null | tail -1; }
+# checkpoints are pure-numeric filenames (next_write_path); the naive
+# [0-9]* glob also matched 0_panel.png / 0.gif and handed a PNG to
+# --checkpoint (caught 22:24Z — every downstream leg crashed fast)
+latest() {
+  ls -v "quality_runs/$1" 2>/dev/null | grep -E '^[0-9]+$' | tail -1 \
+    | sed "s|^|quality_runs/$1/|"
+}
 
 # run <name> <timeout> [train args...] — skipped if the leg already has a
 # checkpoint; appends to the leg log so relaunches keep history.

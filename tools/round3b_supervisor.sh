@@ -18,12 +18,13 @@ assert float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()) == 128.0 ** 3
 print('TPU OK')" 2>/dev/null | grep -q "TPU OK"
 }
 
+has_ckpt() {  # pure-numeric checkpoint file present (not figures)
+  ls "quality_runs/$1" 2>/dev/null | grep -qE '^[0-9]+$'
+}
+
 done_yet() {
-  ls quality_runs/x2r3/[0-9]* >/dev/null 2>&1 &&
-  ls quality_runs/x2_gan_dfeat/[0-9]* >/dev/null 2>&1 &&
-  ls quality_runs/x4b/[0-9]* >/dev/null 2>&1 &&
-  ls quality_runs/x4_ramp_dfeat/[0-9]* >/dev/null 2>&1 &&
-  ls quality_runs/real_x4_v2/[0-9]* >/dev/null 2>&1 &&
+  has_ckpt x2r3 && has_ckpt x2_gan_dfeat && has_ckpt x4b &&
+  has_ckpt x4_ramp_dfeat && has_ckpt real_x4_v2 &&
   [ -s quality_runs/perf_r3/l01_layouts.jsonl ] &&
   [ -s quality_runs/perf_r3/infer_roofline.jsonl ]
 }
