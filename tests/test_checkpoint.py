@@ -128,3 +128,60 @@ def test_transplant_shape_mismatch_skipped():
     np.testing.assert_array_equal(np.asarray(merged["w"]), np.zeros((2, 2)))
     np.testing.assert_array_equal(np.asarray(merged["b"]), np.ones(3))
     assert "90" not in str(rep)  # smoke: report prints
+
+
+def test_slim_checkpoint_resume_and_growth(tmp_path):
+    """The VM-reset survival path the on-chip queue depends on
+    (tools/slim_ckpt.py + tools/round3c_chain.sh): a slimmed checkpoint
+    (G/D params+state only, no optimizer moments, dis_list=None) must
+    (a) resume a same-scale finetune with fresh-optimizer fallback and
+    (b) seed a progressive growth leg with full base coverage."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from slim_ckpt import slim
+
+    cfg = _cfg()
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    ts["step"] = jnp.asarray(23, jnp.int32)
+    payload = pack_train_state(ts, epoch=9, scale_factor=2,
+                               replay_stack=np.zeros((2, 1, 4, 4, 3), np.float32))
+    full = save_checkpoint(str(tmp_path), payload)
+    slim_path = str(tmp_path / "keep.ckpt")
+    slim(full, slim_path)
+    assert os.path.getsize(slim_path) < os.path.getsize(full)
+
+    back = load_checkpoint(slim_path)
+    assert back["dis_list"] is None
+    assert "opti_g" not in back and "opti_d" not in back
+    assert back["epoch"] == 9 and back["step"] == 23
+
+    from sisr_tpu.train.loop import assemble_state
+
+    # (a) same-scale resume: params planted 100%, optimizer falls back fresh
+    ts2, _, reports = assemble_state(jax.random.PRNGKey(1), cfg, back,
+                                     verbose=False)
+    assert reports["net_g"].coverage == 1.0
+    assert reports["net_d"].coverage == 1.0
+    assert int(ts2["step"]) == 23  # step survives the slim
+    f1 = flatten_with_paths(ts["params_g"])
+    f2 = flatten_with_paths(ts2["params_g"])
+    for p in f1:
+        np.testing.assert_array_equal(np.asarray(f1[p]), np.asarray(f2[p]),
+                                      err_msg=p)
+
+    # (b) growth leg (--progressive-suffix 1): base planted verbatim
+    import dataclasses
+    cfg_grow = dataclasses.replace(cfg, progressive_suffix=1)
+    ts3, _, reports3 = assemble_state(jax.random.PRNGKey(2), cfg_grow, back,
+                                      verbose=False)
+    assert reports3["net_g"].coverage == 1.0  # pre-growth tree fully covered
+    f3 = flatten_with_paths(ts3["params_g"])
+    for p in f1:
+        np.testing.assert_array_equal(np.asarray(f1[p]),
+                                      np.asarray(f3["base/" + p]), err_msg=p)
+    assert "upscale/conv/kernel" in f3  # the grown suffix exists
+
+    # dis_list=None tolerated by both replay rings
+    from sisr_tpu.train.replay import ReplayBuffer
+    buf = ReplayBuffer(cfg.replay, (1, 4, 4, 3), seed=0)
+    assert buf.load_state_dict(None, True) == 0
