@@ -92,7 +92,7 @@ def flops_estimate(jitted_fn: Callable, *args) -> Optional[float]:
         return None
 
 
-def preflight_tpu(timeout_s: float = 180.0) -> bool:
+def preflight_tpu(timeout_s: float = 180.0, attempts: int = 3) -> bool:
     """Probe the TPU relay in a killable subprocess.
 
     A dead relay parks jax backend init in a futex FOREVER (observed in a
@@ -100,6 +100,14 @@ def preflight_tpu(timeout_s: float = 180.0) -> bool:
     run in a subprocess that can be killed, BEFORE this process touches
     jax. Returns True iff a trivial matmul round-trips on the TPU backend
     within timeout_s.
+
+    Retries: on this 1-core host a concurrent CPU job (test suite, data
+    gen) can starve the probe subprocess past timeout_s even when the
+    relay is healthy (observed 2026-08-19: a queue leg died as
+    "unreachable" while the chip was answering). A single timeout is
+    therefore ambiguous; only `attempts` consecutive timeouts count as a
+    dead relay. A real process-level failure (nonzero rc with output)
+    still fails fast.
     """
     import subprocess
     import sys
@@ -107,9 +115,16 @@ def preflight_tpu(timeout_s: float = 180.0) -> bool:
              "assert jax.default_backend() == 'tpu'; "
              "assert float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()) == 512.0; "
              "print('ok')")
-    try:
-        r = subprocess.run([sys.executable, "-c", probe],
-                           capture_output=True, timeout=timeout_s, text=True)
-        return r.returncode == 0 and "ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=timeout_s,
+                               text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True
+            return False  # loud failure (bad backend/assert), not a hang
+        except subprocess.TimeoutExpired:
+            if i + 1 < attempts:
+                print(f"preflight probe timed out (attempt {i + 1}/"
+                      f"{attempts}) — retrying", file=sys.stderr)
+    return False
