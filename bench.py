@@ -38,13 +38,49 @@ V5E_PEAK_BF16_FLOPS = 197e12
 V5E_HBM_GBS = 819e9
 
 
-def _preflight_tpu(wait_s: float = 1200.0) -> bool:
+#: total wall budget for the whole bench (preflight + compile + measure +
+#: degraded-window retries). The driver's end-of-round capture has a finite
+#: timeout (BENCH_r03 was rc=124); past the deadline the degraded-window
+#: retry loops stop waiting and report the best measurement so far — a
+#: possibly-pessimistic number beats a null one. Override: SISR_BENCH_BUDGET_S.
+_BUDGET_S = float(__import__("os").environ.get("SISR_BENCH_BUDGET_S", 2400))
+_DEADLINE = time.monotonic() + _BUDGET_S
+
+
+def _past_deadline() -> bool:
+    return time.monotonic() >= _DEADLINE
+
+
+def _arm_compile_cache():
+    """Persistent compilation cache (VERDICT r3 next #3): the uncached GAN
+    fused-step compile is ~5 min on TPU — alone enough to blow a ~10-min
+    driver capture window. The on-chip queue (tools/round4_chain.sh) keeps
+    .jax_cache warm from its own runs; arming the same dir here makes the
+    driver's `python bench.py` a ~2-min warm-cache run. Uses jax.config
+    (the site hook pins env vars, but these two are plain config keys)."""
+    import os
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception as e:  # never let cache plumbing kill the bench
+        print(json.dumps({"event": "compile_cache_unavailable",
+                          "error": repr(e)}), file=__import__("sys").stderr)
+
+
+def _preflight_tpu(wait_s: float = None) -> bool:
     """The axon relay can drop and leave jax backend init parked in a
     futex forever (observed round 2). Probe it in a killable subprocess,
-    retrying up to wait_s, so bench fails loudly instead of hanging."""
+    retrying up to wait_s, so bench fails loudly instead of hanging.
+    Default wait is SISR_BENCH_PREFLIGHT_S (420 s): bounded so preflight +
+    warm-cache measurement fit a ~10-min driver budget (VERDICT r3 #2)."""
     import os
     import subprocess
     import sys
+    if wait_s is None:
+        wait_s = float(os.environ.get("SISR_BENCH_PREFLIGHT_S", 420))
     deadline = time.monotonic() + wait_s
     probe = ("import jax, jax.numpy as jnp; "
              "assert float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()) == 512.0; "
@@ -52,7 +88,7 @@ def _preflight_tpu(wait_s: float = 1200.0) -> bool:
     while True:
         try:
             r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, timeout=180, text=True)
+                               capture_output=True, timeout=200, text=True)
             if r.returncode == 0 and "ok" in r.stdout:
                 return True
         except subprocess.TimeoutExpired:
@@ -61,7 +97,7 @@ def _preflight_tpu(wait_s: float = 1200.0) -> bool:
             return False
         print(json.dumps({"event": "tpu_unreachable_retrying"}),
               file=sys.stderr)
-        time.sleep(60)
+        time.sleep(45)
 
 
 def _pause_competitors():
@@ -74,10 +110,17 @@ def _pause_competitors():
     import os
     import signal
 
-    markers = ("round3b_supervisor.sh", "round3c_supervisor.sh",
-               "round3b_chain.sh", "round3c_chain.sh", "tpu_watchdog.sh",
-               "sisr_tpu.cli.train", "eval_quality.py", "infer_roofline.py",
-               "slim_ckpt.py", "make_real_dataset.py")
+    # Supervisors/chains and LONG legs only. tpu_watchdog.sh is exempt (it
+    # is the recovery mechanism — freezing it during an outage preflight
+    # was ADVICE r3 low #2) and so are short-timeout legs (eval_quality,
+    # slim_ckpt, make_real_dataset: GNU timeout keeps ticking while a leg
+    # is SIGSTOPped, so a bench-length pause could eat most of a short
+    # leg's budget and deliver its pending SIGTERM on SIGCONT —
+    # ADVICE r3 low #3).
+    markers = ("round4_supervisor.sh", "round4_chain.sh",
+               "round3b_supervisor.sh", "round3c_supervisor.sh",
+               "round3b_chain.sh", "round3c_chain.sh",
+               "sisr_tpu.cli.train", "infer_roofline.py")
     me = os.getpid()
     victims = []  # (priority, pid): stop supervisors before their legs
     for pid_s in os.listdir("/proc"):
@@ -104,6 +147,15 @@ def _pause_competitors():
         import sys
         print(json.dumps({"event": "paused_queue_pids", "pids": stopped}),
               file=sys.stderr)
+        # Persist the stopped pids: if bench dies uncleanly (SIGKILL/OOM)
+        # atexit never runs and the queue would stay frozen forever
+        # (ADVICE r3 low #2). The supervisor's probe loop rescues orphans
+        # from this file (tools/round4_supervisor.sh).
+        try:
+            with open("/tmp/sisr_bench_paused.pids", "w") as f:
+                f.write(" ".join(map(str, stopped)))
+        except OSError:
+            pass
 
     def resume():
         for pid in reversed(stopped):
@@ -111,6 +163,10 @@ def _pause_competitors():
                 os.kill(pid, signal.SIGCONT)
             except OSError:
                 pass
+        try:
+            os.unlink("/tmp/sisr_bench_paused.pids")
+        except OSError:
+            pass
 
     return resume
 
@@ -199,7 +255,9 @@ def main():
 
     train_dt = measure_train()
     for _ in range(4):
-        if mp_per_batch / train_dt >= 4.0:  # healthy-window signature
+        # stop waiting for a healthy window past the bench's wall budget:
+        # a degraded-window number beats the driver's rc=124 null
+        if mp_per_batch / train_dt >= 4.0 or _past_deadline():
             break
         time.sleep(120)
         train_dt = min(train_dt, measure_train())
@@ -254,7 +312,7 @@ def main():
     dt_xla = time_deploy(lr, 100, False, cost=cost16)
     dt_pallas = time_deploy(lr, 100, True)
     for _ in range(4):  # degraded-window retry (see train timing note)
-        if mp_per_batch / min(dt_xla, dt_pallas) >= 50.0:
+        if mp_per_batch / min(dt_xla, dt_pallas) >= 50.0 or _past_deadline():
             break
         time.sleep(120)
         dt_xla = min(dt_xla, time_deploy(lr, 100, False))
@@ -268,8 +326,8 @@ def main():
     lr64 = jnp.tile(lr, (4, 1, 1, 1))
     cost64 = {}
     dt64 = time_deploy(lr64, 50, False, cost=cost64)
-    if 4 * mp_per_batch / dt64 < 50.0:  # degraded-window retry
-        time.sleep(120)
+    if 4 * mp_per_batch / dt64 < 50.0 and not _past_deadline():
+        time.sleep(120)  # degraded-window retry
         dt64 = min(dt64, time_deploy(lr64, 50, False))
     infer64_mps = 4 * mp_per_batch / dt64
 
@@ -311,15 +369,19 @@ def main():
 
 if __name__ == "__main__":
     import atexit
+    # preflight FIRST: pausing the queue before it (round-3 ordering) froze
+    # the outage-recovery machinery during exactly the window it exists to
+    # handle (ADVICE r3 low #2).
+    if not _preflight_tpu():
+        print(json.dumps({"metric": "celeba_x4_train_mps_per_chip",
+                          "value": None, "unit": "megapixels/sec",
+                          "vs_baseline": None,
+                          "error": "tpu relay unreachable after retries"}))
+        raise SystemExit(1)
+    _arm_compile_cache()
     _resume = _pause_competitors()
     atexit.register(_resume)
     try:
-        if not _preflight_tpu():
-            print(json.dumps({"metric": "celeba_x4_train_mps_per_chip",
-                              "value": None, "unit": "megapixels/sec",
-                              "vs_baseline": None,
-                              "error": "tpu relay unreachable after retries"}))
-            raise SystemExit(1)
         main()
     finally:
         _resume()

@@ -168,10 +168,16 @@ def main(argv=None):
         # forever) — same probe as bench.py's pre-flight
         from sisr_tpu.profiling import preflight_tpu
         if not preflight_tpu():
-            raise SystemExit(
-                "TPU relay unreachable (pre-flight probe timed out). "
-                "Arm tools/tpu_watchdog.sh to relaunch when it returns, "
-                "or pass --cpu to train on the host backend.")
+            # exit 75 (EX_TEMPFAIL): an ENVIRONMENT failure, distinct from a
+            # real training error (rc=1) so queue chains can re-queue this
+            # leg instead of permanently cancelling it (round-3 failure
+            # mode: an outage-rc=1 leg was treated as "prereq missing" and
+            # every downstream leg was skipped forever).
+            print("TPU relay unreachable (pre-flight probe timed out). "
+                  "Arm tools/tpu_watchdog.sh to relaunch when it returns, "
+                  "or pass --cpu to train on the host backend.",
+                  file=__import__("sys").stderr)
+            raise SystemExit(75)
     cfg = config_from_args(args)
     print("write_root:", cfg.write_root)
     print("progressive_suffix:", cfg.progressive_suffix,

@@ -92,7 +92,8 @@ def flops_estimate(jitted_fn: Callable, *args) -> Optional[float]:
         return None
 
 
-def preflight_tpu(timeout_s: float = 180.0, attempts: int = 3) -> bool:
+def preflight_tpu(timeout_s: float = 180.0, attempts: int = 3,
+                  retry_sleep_s: float = 45.0) -> bool:
     """Probe the TPU relay in a killable subprocess.
 
     A dead relay parks jax backend init in a futex FOREVER (observed in a
@@ -107,7 +108,11 @@ def preflight_tpu(timeout_s: float = 180.0, attempts: int = 3) -> bool:
     "unreachable" while the chip was answering). A single timeout is
     therefore ambiguous; only `attempts` consecutive timeouts count as a
     dead relay. A real process-level failure (nonzero rc with output)
-    still fails fast.
+    still fails fast. Timed-out attempts are separated by `retry_sleep_s`
+    (the starving CPU job typically persists for minutes; back-to-back
+    retries would all starve together), so worst-case dead-relay
+    detection is ~attempts*(timeout_s+retry_sleep_s) ~= 11 min at the
+    defaults.
     """
     import subprocess
     import sys
@@ -126,5 +131,7 @@ def preflight_tpu(timeout_s: float = 180.0, attempts: int = 3) -> bool:
         except subprocess.TimeoutExpired:
             if i + 1 < attempts:
                 print(f"preflight probe timed out (attempt {i + 1}/"
-                      f"{attempts}) — retrying", file=sys.stderr)
+                      f"{attempts}) — retrying in {retry_sleep_s:.0f}s",
+                      file=sys.stderr)
+                time.sleep(retry_sleep_s)
     return False

@@ -132,3 +132,63 @@ def test_tiled_sr_with_deploy_override(rng):
     tiled_dep = tiled_sr(params, state, img, gen_cfg, tile=32, tile_batch=4,
                          fwd=lambda p, s, x: deploy(x))
     np.testing.assert_allclose(tiled_dep, tiled_eval, rtol=1e-3, atol=1e-4)
+
+
+def test_recalibrate_bn_tracks_distribution(rng):
+    """recalibrate_bn must (a) move BN running stats toward the calibration
+    distribution's batch statistics, (b) leave params and every non-BN
+    state leaf (SN power-iteration vectors) bit-identical, and (c) close
+    the train-vs-deploy BN gap on off-distribution data once folded
+    (the round-3 real_x2_v2 fresh-split regression: 2.2 dB)."""
+    from sisr_tpu.infer import make_deploy_fn, recalibrate_bn
+    from sisr_tpu.models.generator import generator_apply
+
+    gen_cfg = GeneratorConfig(n_blocks=2, n_features_block=8,
+                              n_features_last=16, use_sn=True)
+    params, state = generator_init(jax.random.PRNGKey(0), gen_cfg)
+
+    # calibration corpus drawn far from BN init stats (mean 0 / var 1):
+    # a biased, low-variance input distribution
+    cal = [jnp.asarray(rng.uniform(0.3, 0.8, (4, 8, 8, 3))
+                       .astype(np.float32)) for _ in range(4)]
+    new_state = recalibrate_bn(params, state, gen_cfg, cal, passes=12)
+
+    # (b) non-BN leaves untouched
+    def collect(tree, want_bn, path=""):
+        out = {}
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                if k.startswith("bn") == want_bn or isinstance(v, (dict, list)):
+                    if k.startswith("bn") and not want_bn:
+                        continue
+                    out.update(collect(v, want_bn, f"{path}/{k}"))
+        elif isinstance(tree, list):
+            for i, v in enumerate(tree):
+                out.update(collect(v, want_bn, f"{path}/{i}"))
+        else:
+            out[path] = tree
+        return out
+
+    old_sn = collect(state, want_bn=False)
+    new_sn = collect(new_state, want_bn=False)
+    assert old_sn.keys() == new_sn.keys()
+    for k in old_sn:
+        np.testing.assert_array_equal(np.asarray(old_sn[k]),
+                                      np.asarray(new_sn[k]), err_msg=k)
+
+    # (a) BN stats moved
+    old_bn = collect(state, want_bn=True)
+    new_bn = collect(new_state, want_bn=True)
+    moved = sum(float(np.abs(np.asarray(o) - np.asarray(n)).max()) > 1e-6
+                for o, n in zip(old_bn.values(), new_bn.values()))
+    assert moved >= len(old_bn) // 2, "recalibration did not move BN stats"
+
+    # (c) folded deploy with recalibrated stats ~= train-mode BN forward on
+    # the calibration distribution (init running stats are far off)
+    x = cal[0]
+    y_train, _ = generator_apply(params, state, x, train=True, cfg=gen_cfg)
+    y_old = make_deploy_fn(params, state, gen_cfg)(x)
+    y_new = make_deploy_fn(params, new_state, gen_cfg)(x)
+    err_old = float(jnp.abs(y_old - y_train).mean())
+    err_new = float(jnp.abs(y_new - y_train).mean())
+    assert err_new < err_old, (err_new, err_old)

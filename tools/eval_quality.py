@@ -43,6 +43,11 @@ def main(argv=None):
     ap.add_argument("--label", default=None)
     ap.add_argument("--quant", action="store_true",
                     help="also evaluate the int8 quantized deploy path")
+    ap.add_argument("--recalibrate-bn", action="store_true",
+                    help="re-estimate BN running stats on the training "
+                         "corpus before folding (fixes the deploy gap when "
+                         "a short finetune's EMA lags the data "
+                         "distribution) — adds deploy_recal columns")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debug / no-chip fallback)")
     args = ap.parse_args(argv)
@@ -83,6 +88,23 @@ def main(argv=None):
 
     sr_train_bn = make_sr_fn(gen_cfg, compute_dtype=jnp.bfloat16)
     deploy = make_deploy_fn(params, state, gen_cfg, compute_dtype=jnp.bfloat16)
+    deploy_recal = None
+    if args.recalibrate_bn:
+        from sisr_tpu.infer import recalibrate_bn
+        ds = make_dataset(args.dataset, args.data_root, hr_s,
+                          args.synthetic_len)
+        n_train = max(len(ds) - args.batch_size, args.batch_size)
+        idx = np.linspace(0, n_train - 1, min(n_train, 8 * args.batch_size),
+                          dtype=int)  # spread over the training split
+        cal = []
+        for b in range(0, len(idx) - args.batch_size + 1, args.batch_size):
+            hr_b = jnp.asarray(np.stack([ds[i]
+                                         for i in idx[b:b + args.batch_size]]))
+            cal.append(lr_from_hr(hr_b, (lr_s[1], lr_s[2])))
+        state_recal = recalibrate_bn(params, state, gen_cfg, cal,
+                                     compute_dtype=jnp.bfloat16)
+        deploy_recal = make_deploy_fn(params, state_recal, gen_cfg,
+                                      compute_dtype=jnp.bfloat16)
     deploy_q = None
     if args.quant:
         from sisr_tpu.quant import make_deploy_fn_int8
@@ -115,12 +137,21 @@ def main(argv=None):
         variants = [("sr", sr_train_bn(params, state, lr)),
                     ("deploy", deploy(lr)),
                     ("bicubic", bic)]
+        if deploy_recal is not None:
+            variants.append(("deploy_recal", deploy_recal(lr)))
         if deploy_q is not None:
             variants.append(("int8", deploy_q(lr)))
         for name, sr in variants:
             out[f"psnr_{name}"] = round(float(psnr(sr, hr_j)), 3)
             out[f"ssim_{name}"] = round(float(ssim(sr, hr_j)), 4)
-        out["beats_bicubic"] = bool(out["psnr_sr"] > out["psnr_bicubic"])
+        # `beats_bicubic` keys on the DEPLOY numbers (the serving path and
+        # the path every README table quotes — round-3 VERDICT weak #3:
+        # keying on train-mode BN flagged a row whose deploy path lost).
+        # The best deployable variant counts: recalibrated-BN deploy when
+        # evaluated, else the plain fold.
+        best_deploy = out.get("psnr_deploy_recal", out["psnr_deploy"])
+        out["beats_bicubic"] = bool(best_deploy > out["psnr_bicubic"])
+        out["beats_bicubic_train"] = bool(out["psnr_sr"] > out["psnr_bicubic"])
         print(json.dumps(out))
 
 
