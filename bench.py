@@ -88,7 +88,7 @@ def _preflight_tpu(wait_s: float = None) -> bool:
     while True:
         try:
             r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, timeout=200, text=True)
+                               capture_output=True, timeout=280, text=True)
             if r.returncode == 0 and "ok" in r.stdout:
                 return True
         except subprocess.TimeoutExpired:

@@ -92,7 +92,7 @@ def flops_estimate(jitted_fn: Callable, *args) -> Optional[float]:
         return None
 
 
-def preflight_tpu(timeout_s: float = 180.0, attempts: int = 3,
+def preflight_tpu(timeout_s: float = 280.0, attempts: int = 3,
                   retry_sleep_s: float = 45.0) -> bool:
     """Probe the TPU relay in a killable subprocess.
 
@@ -100,7 +100,9 @@ def preflight_tpu(timeout_s: float = 180.0, attempts: int = 3,
     ~4h round-2 outage) — even `jax.devices()` hangs — so the probe must
     run in a subprocess that can be killed, BEFORE this process touches
     jax. Returns True iff a trivial matmul round-trips on the TPU backend
-    within timeout_s.
+    within timeout_s (default 280 s: relay degraded windows stretch plain
+    backend init to ~200-300 s — measured 2026-08-19 — and a probe budget
+    below that declares a WORKING chip dead).
 
     Retries: on this 1-core host a concurrent CPU job (test suite, data
     gen) can starve the probe subprocess past timeout_s even when the

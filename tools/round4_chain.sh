@@ -31,7 +31,7 @@ MAX_REAL_ATTEMPTS=${MAX_REAL_ATTEMPTS:-2}
 log() { echo "[chain4] $(date -u +%Y-%m-%dT%H:%M:%SZ) $*" | tee -a "$LOG"; }
 
 CACHE=$PWD/.jax_cache
-if timeout 300 python -c "
+if timeout 480 python -c "
 import os
 os.environ['JAX_COMPILATION_CACHE_DIR'] = '$CACHE'
 import jax, jax.numpy as jnp
@@ -47,7 +47,7 @@ else
 fi
 
 probe() {
-  timeout 260 python -c "
+  timeout 280 python -c "
 import jax, jax.numpy as jnp
 assert jax.default_backend() == 'tpu'
 assert float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()) == 128.0 ** 3
@@ -134,7 +134,7 @@ need "$X2" everything || exit 1
 DATA=quality_runs/real_data_v2
 [ -d "$DATA/photos" ] || python tools/make_real_dataset.py --out "$DATA" \
   >> "$LOG" 2>&1
-if [ -d quality_runs/real_x2_v2/0 ] && \
+if [ -e quality_runs/real_x2_v2/0 ] && \
    ! grep -q '"label": "real_x2_v2_recal"' "$EVAL" 2>/dev/null; then
   timeout 3600 python tools/eval_quality.py \
     --checkpoint quality_runs/real_x2_v2/0 --n-suffixes 0 \

@@ -11,7 +11,7 @@ LOG=quality_runs/watchdog.log
 log() { echo "[super4] $(date -u +%Y-%m-%dT%H:%M:%SZ) $*" | tee -a "$LOG"; }
 
 probe() {
-  timeout 260 python -c "
+  timeout 280 python -c "
 import jax, jax.numpy as jnp
 assert jax.default_backend() == 'tpu'
 assert float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()) == 128.0 ** 3
