@@ -180,7 +180,10 @@ def deploy_apply(folded_params, x, gen_cfg: GeneratorConfig, *,
     h = prelu_apply(base["first_layers"]["prelu"], h)
 
     if use_pallas_trunk:
-        h = fused_trunk(h, base, interpret=interpret)
+        # tile_b=1 pins the measured-good v1 schedule; the v2 batch-tiled
+        # schedule (trunk.py:_kernel_tiled) flips in once its on-chip
+        # design-point measurement lands (tools/bench_trunk_v2.py).
+        h = fused_trunk(h, base, tile_b=1, interpret=interpret)
     else:
         h0 = h
         for bp in base["blocks"]:

@@ -84,3 +84,36 @@ def test_deploy_apply_matches_eval_forward(rng):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=tol, atol=tol,
                                    err_msg=f"pallas={pallas}")
+
+
+def test_fused_trunk_tiled_matches_v1(rng):
+    """The v2 batch-tiled/bf16-buffer trunk schedule must agree with both
+    the per-image v1 kernel and the folded XLA trunk (bf16-level tol —
+    the XLA deploy path itself carries bf16 activations between convs)."""
+    from sisr_tpu.config import GeneratorConfig
+    from sisr_tpu.infer import fold_generator
+    from sisr_tpu.models.generator import generator_init
+    from sisr_tpu.ops.pallas.trunk import fused_trunk
+    from sisr_tpu.nn.layers import conv2d_apply
+
+    gcfg = GeneratorConfig(n_blocks=3, n_features_block=8,
+                           n_features_last=16, use_sn=True)
+    p, s = generator_init(jax.random.PRNGKey(0), gcfg)
+    fp, _ = fold_generator(p, s, gcfg)
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 6, 6, 8)).astype(np.float32))
+
+    h = x
+    for bp in fp["blocks"]:
+        y = conv2d_apply(bp["conv1"], h, padding=1)
+        y = prelu_apply(bp["prelu"], y)
+        y = conv2d_apply(bp["conv2"], y, padding=1)
+        h = h + y
+    ref = conv2d_apply(fp["block_end"]["conv"], h, padding=1) + x
+
+    v1 = fused_trunk(x, fp, tile_b=1, interpret=True)
+    for t in (2, 4, 0):  # explicit tiles + auto-pick
+        v2 = fused_trunk(x, fp, tile_b=t, interpret=True)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   rtol=2e-2, atol=2e-2)
