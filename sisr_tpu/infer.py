@@ -145,9 +145,68 @@ def recalibrate_bn(params, state, gen_cfg: GeneratorConfig, lr_batches, *,
     return merge(state, new_state)
 
 
+def subpixel_to_transposed(kernel, r: int):
+    """Rearrange a SAME 3x3 sub-pixel conv kernel (3,3,C,C*r^2) into the
+    equivalent input-dilated ("transposed") conv kernel (3r,3r,C,C).
+
+    conv3x3(x) + depth_to_space(r) computes
+        out[b, r*y+i, r*x+j, c] = conv_out[b, y, x, c*r^2 + i*r + j]
+    (torch PixelShuffle channel order, nn/layers.py:pixel_shuffle). The
+    same map as ONE conv over the r-dilated input with window index
+        t = r*dy + (r-1) - i     (pad lo = hi = r*p + r - 1, p = 1)
+    — verified bit-level against conv+shuffle in tests. Serving rationale:
+    avoids materializing the C*r^2-channel intermediate AND the shuffle
+    transpose (the two biggest HBM consumers of the upscale stages at the
+    post-shuffle resolutions). A measured design point, not a default:
+    XLA may lower input-dilated convs without exploiting phase sparsity,
+    quadrupling FLOPs — see tools/bench_trunk_v2.py."""
+    k = kernel.shape[0]
+    C = kernel.shape[2]
+    Co = kernel.shape[3] // (r * r)
+    # (k,k,C,Co*r*r) -> (k,k,C,Co,r,r) -> scatter into (r*k, r*k, C, Co)
+    kr = kernel.reshape(k, k, C, Co, r, r)
+    w = jnp.zeros((r * k, r * k, C, Co), kernel.dtype)
+    for dy in range(k):
+        for dx in range(k):
+            for i in range(r):
+                for j in range(r):
+                    w = w.at[r * dy + (r - 1) - i,
+                             r * dx + (r - 1) - j].set(kr[dy, dx, :, :, i, j])
+    return w
+
+
+def upscale_transposed(h, stage, r: int, compute_dtype=None):
+    """One upscale stage (conv + pixel-shuffle + PReLU) as a single
+    input-dilated conv with `subpixel_to_transposed` weights. The
+    sub-pixel bias is phase-dependent (bias[c*r^2+i*r+j] lands at output
+    phase (i,j)), so it is added via a broadcast over the (H, r, W, r, C)
+    view rather than a per-channel conv bias."""
+    from jax import lax
+    from sisr_tpu.nn.layers import prelu_apply
+
+    kernel = stage["conv"]["kernel"]
+    bias = stage["conv"]["bias"]
+    w = subpixel_to_transposed(kernel, r)
+    x = h
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    p = (kernel.shape[0] - 1) // 2
+    lo = r * p + r - 1
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), [(lo, lo), (lo, lo)], lhs_dilation=(r, r),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    B, H2, W2, C = y.shape
+    bias_phase = bias.reshape(C, r, r).transpose(1, 2, 0).astype(y.dtype)
+    y = (y.reshape(B, H2 // r, r, W2 // r, r, C)
+         + bias_phase[None, None, :, None, :, :]).reshape(B, H2, W2, C)
+    return prelu_apply(stage["prelu"], y)
+
+
 def deploy_apply(folded_params, x, gen_cfg: GeneratorConfig, *,
                  use_pallas_trunk: bool = False,
                  use_pallas_upscale: bool = False,
+                 use_transposed_upscale: bool = False,
                  compute_dtype=None, interpret: bool = False):
     """Inference forward over FOLDED params (fold_generator output): the
     lean deploy pipeline — stem, residual trunk, upscale stages, end conv —
@@ -166,6 +225,9 @@ def deploy_apply(folded_params, x, gen_cfg: GeneratorConfig, *,
     base = node
 
     def upscale_stage(h, stage, r):
+        if use_transposed_upscale:
+            return upscale_transposed(h, stage, r,
+                                      compute_dtype=compute_dtype)
         if use_pallas_upscale and r == 2:
             return fused_conv_shuffle_prelu(
                 h, stage["conv"]["kernel"], stage["conv"]["bias"],
@@ -208,7 +270,8 @@ def deploy_apply(folded_params, x, gen_cfg: GeneratorConfig, *,
 
 def make_deploy_fn(params, state, gen_cfg: GeneratorConfig, *,
                    use_pallas_trunk: bool = False,
-                   use_pallas_upscale: bool = False, compute_dtype=None):
+                   use_pallas_upscale: bool = False,
+                   use_transposed_upscale: bool = False, compute_dtype=None):
     """Fold BN/SN constants and return a jitted deploy-mode SR function."""
     fp, _ = fold_generator(params, state, gen_cfg)
 
@@ -217,6 +280,7 @@ def make_deploy_fn(params, state, gen_cfg: GeneratorConfig, *,
         return deploy_apply(fp, x, gen_cfg,
                             use_pallas_trunk=use_pallas_trunk,
                             use_pallas_upscale=use_pallas_upscale,
+                            use_transposed_upscale=use_transposed_upscale,
                             compute_dtype=compute_dtype)
 
     return fwd

@@ -192,3 +192,22 @@ def test_recalibrate_bn_tracks_distribution(rng):
     err_old = float(jnp.abs(y_old - y_train).mean())
     err_new = float(jnp.abs(y_new - y_train).mean())
     assert err_new < err_old, (err_new, err_old)
+
+
+def test_transposed_upscale_matches_subpixel(rng):
+    """The input-dilated-conv rewrite of conv+pixel_shuffle+PReLU (serving
+    design point: kills the C*r^2 intermediate and the shuffle transpose)
+    must match the sub-pixel path bit-level (same dtype/precision)."""
+    from sisr_tpu.infer import make_deploy_fn
+
+    for n_suffixes in (0, 1):
+        gen_cfg = GeneratorConfig(n_blocks=2, n_features_block=8,
+                                  n_features_last=16, n_suffixes=n_suffixes)
+        params, state = generator_init(jax.random.PRNGKey(3), gen_cfg)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32))
+        y_ref = make_deploy_fn(params, state, gen_cfg)(x)
+        y_ct = make_deploy_fn(params, state, gen_cfg,
+                              use_transposed_upscale=True)(x)
+        assert y_ct.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y_ct), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)

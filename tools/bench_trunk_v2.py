@@ -84,7 +84,9 @@ def main():
         # full deploy comparison (lr input is 3-channel)
         lr = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)).astype(np.float32))
         for name, kw in (("deploy_xla", {}),
-                         ("deploy_pallas_v1", {"use_pallas_trunk": True})):
+                         ("deploy_pallas_v1", {"use_pallas_trunk": True}),
+                         ("deploy_xla_ct",
+                          {"use_transposed_upscale": True})):
             dt = chain_timed(
                 lambda a, kw=kw: deploy_apply(fp, a, gcfg,
                                               compute_dtype=jnp.bfloat16,
@@ -92,37 +94,47 @@ def main():
                 lr, iters=30)
             emit(variant=name, batch=B, ms=round(dt * 1e3, 3), mp=mp_out)
 
-        def deploy_v2(a):
+        def make_deploy_v2(ct_upscale):
+            from sisr_tpu.infer import upscale_transposed
             from sisr_tpu.nn.layers import pixel_shuffle
-            levels = []
-            node = fp
-            while "base" in node:
-                levels.append(node)
-                node = node["base"]
-            bb = node
-            h = conv2d_apply(bb["first_layers"]["conv"], a, padding=4,
-                             compute_dtype=jnp.bfloat16)
-            h = prelu_apply(bb["first_layers"]["prelu"], h)
-            h = fused_trunk(h, bb)  # auto tile -> v2
-            stages = ([(bb["upscale"][i], gcfg.list_scales[i])
-                       for i in range(len(bb["upscale"]))]
-                      + [(lvl["upscale"], 2) for lvl in reversed(levels)])
-            for stage, r in stages:
-                y = conv2d_apply(stage["conv"], h, padding=1,
-                                 compute_dtype=jnp.bfloat16)
-                y = pixel_shuffle(y, r)
-                h = prelu_apply(stage["prelu"], y)
-            h = conv2d_apply(bb["end"]["conv"], h, padding=1,
-                             compute_dtype=jnp.bfloat16)
-            return jnp.tanh(h.astype(jnp.float32))
 
-        try:
-            dt = chain_timed(deploy_v2, lr, iters=30)
-            emit(variant="deploy_pallas_v2", batch=B,
-                 ms=round(dt * 1e3, 3), mp=mp_out)
-        except Exception as e:
-            print(json.dumps({"variant": "deploy_pallas_v2", "batch": B,
-                              "error": repr(e)[:200]}), flush=True)
+            def deploy_v2(a):
+                levels = []
+                node = fp
+                while "base" in node:
+                    levels.append(node)
+                    node = node["base"]
+                bb = node
+                h = conv2d_apply(bb["first_layers"]["conv"], a, padding=4,
+                                 compute_dtype=jnp.bfloat16)
+                h = prelu_apply(bb["first_layers"]["prelu"], h)
+                h = fused_trunk(h, bb)  # auto tile -> v2
+                stages = ([(bb["upscale"][i], gcfg.list_scales[i])
+                           for i in range(len(bb["upscale"]))]
+                          + [(lvl["upscale"], 2) for lvl in reversed(levels)])
+                for stage, r in stages:
+                    if ct_upscale:
+                        h = upscale_transposed(h, stage, r,
+                                               compute_dtype=jnp.bfloat16)
+                    else:
+                        y = conv2d_apply(stage["conv"], h, padding=1,
+                                         compute_dtype=jnp.bfloat16)
+                        y = pixel_shuffle(y, r)
+                        h = prelu_apply(stage["prelu"], y)
+                h = conv2d_apply(bb["end"]["conv"], h, padding=1,
+                                 compute_dtype=jnp.bfloat16)
+                return jnp.tanh(h.astype(jnp.float32))
+
+            return deploy_v2
+
+        for name, ct in (("deploy_pallas_v2", False),
+                         ("deploy_pallas_v2_ct", True)):
+            try:
+                dt = chain_timed(make_deploy_v2(ct), lr, iters=30)
+                emit(variant=name, batch=B, ms=round(dt * 1e3, 3), mp=mp_out)
+            except Exception as e:
+                print(json.dumps({"variant": name, "batch": B,
+                                  "error": repr(e)[:200]}), flush=True)
 
     print(json.dumps({"summary": rows}), flush=True)
 

@@ -20,6 +20,7 @@ tr4() {  # tr4 <name> <args...>
   mkdir -p "quality_runs/$name"
   log "run $name"
   timeout 14400 python -m sisr_tpu.cli.train --cpu --dataset mnist \
+    --d-features 64,64,128,128 --d-strides 1,2,1,2 \
     --synthetic-len 4096 --batch-size 16 --no-plot-first \
     --write-root "quality_runs/$name" "$@" \
     >> "quality_runs/$name/train.log" 2>&1
