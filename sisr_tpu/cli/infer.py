@@ -45,6 +45,12 @@ def main(argv=None):
     ap.add_argument("--deploy", action="store_true",
                     help="deploy mode: fold BN/SN constants into conv "
                          "weights (eval inference, fastest path)")
+    ap.add_argument("--recalibrate-bn", action="store_true",
+                    help="with --deploy/--quant: re-estimate BN running "
+                         "stats on the eval dataset before folding "
+                         "(infer.recalibrate_bn) — fixes the deploy gap "
+                         "when a short finetune's stats EMA lags the "
+                         "serving distribution")
     ap.add_argument("--quant", action="store_true",
                     help="int8 quantized deploy path (implies --deploy "
                          "folding; quality delta vs fp32 is checkpoint-"
@@ -84,6 +90,19 @@ def main(argv=None):
 
     ds = make_dataset(args.dataset, args.data_root, hr_s)
     os.makedirs(args.out_dir, exist_ok=True)
+    if args.recalibrate_bn and (args.deploy or args.quant):
+        from sisr_tpu.infer import recalibrate_bn
+        n_cal = min(len(ds), 64)
+        cal = []
+        for b in range(0, n_cal - 7, 8):
+            hr_b = jnp.asarray(np.stack([ds[i] for i in range(b, b + 8)]))
+            cal.append(lr_from_hr(hr_b, (hr_b.shape[1] // scale,
+                                         hr_b.shape[2] // scale)))
+        if cal:
+            state = recalibrate_bn(params, state, gen_cfg, cal,
+                                   compute_dtype=jnp.bfloat16)
+            print(f"[recalibrate-bn] running stats re-estimated on "
+                  f"{len(cal)} batches")
     if args.quant:
         from sisr_tpu.quant import make_deploy_fn_int8
         deploy = make_deploy_fn_int8(params, state, gen_cfg)
