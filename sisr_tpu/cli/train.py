@@ -58,7 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ramp-epoch", type=int, default=None,
                     help="x4_ramp only: epoch at which the adversarial + "
                          "content windows open (identity-MSE before; the "
-                         "reference's editable-window recipe, README.md:55)")
+                         "reference's editable-window recipe, README.md:55). "
+                         "NEGATIVE values are RELATIVE to the checkpoint's "
+                         "epoch: -K means 'K identity epochs after resume, "
+                         "then adversarial' — loss windows are absolute "
+                         "epochs, so an absolute ramp below the resume "
+                         "epoch silently never ramps (and one far above "
+                         "it trains identity-only forever)")
     ap.add_argument("--vgg-weights", default=None,
                     help=".npz from tools/port_vgg_weights.py")
     ap.add_argument("--content-extractor", default=None,
@@ -178,6 +184,15 @@ def main(argv=None):
                   "or pass --cpu to train on the host backend.",
                   file=__import__("sys").stderr)
             raise SystemExit(75)
+    checkpoint = {}
+    if args.ramp_epoch is not None and args.ramp_epoch < 0:
+        # relative ramp: resolve against the checkpoint's epoch BEFORE the
+        # config freezes the loss windows (absolute-epoch semantics)
+        checkpoint = load_checkpoint(args.checkpoint) if args.checkpoint else {}
+        start = int(checkpoint.get("epoch", 0)) if checkpoint else 0
+        args.ramp_epoch = start + (-args.ramp_epoch)
+        print(f"ramp_epoch resolved: {args.ramp_epoch} "
+              f"(relative to checkpoint epoch {start})")
     cfg = config_from_args(args)
     print("write_root:", cfg.write_root)
     print("progressive_suffix:", cfg.progressive_suffix,
@@ -186,7 +201,8 @@ def main(argv=None):
           " list_scales:", list(cfg.generator.list_scales),
           " scale_factor:", cfg.scale_factor)
 
-    checkpoint = load_checkpoint(args.checkpoint) if args.checkpoint else {}
+    if not checkpoint:
+        checkpoint = load_checkpoint(args.checkpoint) if args.checkpoint else {}
     if checkpoint:
         print("checkpoint loaded, starting_epoch", checkpoint.get("epoch", 0))
 
