@@ -59,6 +59,25 @@ latest() {
     | sed "s|^|quality_runs/$1/|"
 }
 
+# A leg (train or eval) may already be IN FLIGHT from a previous chain
+# invocation that was killed/relaunched around it (manual edits, outage
+# recovery): detect via /proc cmdline markers and WAIT instead of starting
+# a duplicate that would time-share the chip.
+leg_running() {  # leg_running <marker substring>
+  local p
+  for p in /proc/[0-9]*/cmdline; do
+    [ "$p" = "/proc/$$/cmdline" ] && continue
+    tr '\0' ' ' < "$p" 2>/dev/null | grep -qF "$1" && return 0
+  done
+  return 1
+}
+
+wait_leg() {  # wait_leg <marker> <what>
+  while leg_running "$1"; do
+    log "$2: already in flight — waiting"; sleep 120
+  done
+}
+
 commit_leg() {  # commit_leg <msg> <paths...> — index.lock-tolerant
   local msg=$1; shift
   for i in 1 2 3; do
@@ -76,6 +95,7 @@ commit_leg() {  # commit_leg <msg> <paths...> — index.lock-tolerant
 #   rc 1 = leg permanently failed
 run() {
   local name=$1 tmo=$2; shift 2
+  wait_leg "--write-root quality_runs/$name " "$name"
   if [ -n "$(latest "$name")" ]; then log "$name: done already, skip"; return 0; fi
   if [ -f "quality_runs/$name.failed" ]; then
     log "$name: permanently failed earlier, skip"; return 1; fi
@@ -113,6 +133,7 @@ keep() {
 # ev <name> <n_suffixes> <eval-args...> — guarded by existing rows
 ev() {
   local name=$1 suf=$2 ck; shift 2
+  wait_leg "--label $name " "eval:$name"
   grep -q "\"label\": \"$name\"" "$EVAL" 2>/dev/null && return 0
   ck=$(latest "$name")
   [ -n "$ck" ] || return 0
@@ -134,6 +155,7 @@ need "$X2" everything || exit 1
 DATA=quality_runs/real_data_v2
 [ -d "$DATA/photos" ] || python tools/make_real_dataset.py --out "$DATA" \
   >> "$LOG" 2>&1
+wait_leg "--label real_x2_v2_recal " "eval:real_x2_v2_recal"
 if [ -e quality_runs/real_x2_v2/0 ] && \
    ! grep -q '"label": "real_x2_v2_recal"' "$EVAL" 2>/dev/null; then
   timeout 3600 python tools/eval_quality.py \
@@ -167,7 +189,10 @@ commit_leg "chain r4: x4b continuation leg done" quality_runs/keep/x4.ckpt \
 
 # ---- 2. x4 adversarial ramp with dfeat — THE headline missing artifact ----
 if need "$X4" x4_ramp_dfeat; then
-  run x4_ramp_dfeat 7200 --preset x4_ramp --ramp-epoch 161 --checkpoint "$X4" \
+  # ramp -1 = one identity epoch after resume, then adversarial+content —
+  # robust to the rebuilt lineage's epoch count (windows are ABSOLUTE:
+  # round-2's hardcoded 161 only worked because that lineage sat at 160)
+  run x4_ramp_dfeat 7200 --preset x4_ramp --ramp-epoch -1 --checkpoint "$X4" \
     --dataset synthetic --synthetic-len 8192 --batch-size 16 \
     --num-epochs 4 --seed 50 --content-extractor dfeat --dfeat-scale 0.3; R $?
   ev x4_ramp_dfeat 1 --synthetic-len 8192 --fresh-n 64
