@@ -194,6 +194,8 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
                   "extractor (see tools/port_vgg_weights.py, or "
                   "--content-extractor dfeat for the egress-free learned "
                   "perceptual loss)")
+        elif cfg.vgg_weights and verbose:
+            print(f"[vgg] pretrained weights loaded from {cfg.vgg_weights}")
         vgg_params = vgg_init(src, VGGConfig(cfg.vgg_mask))
 
     # LR decay restarts at full base LR each run (reference rebuilds LambdaLR

@@ -128,3 +128,64 @@ def test_port_tool_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(params["convs"][0]["kernel"]),
         sd["features.0.weight"].numpy().transpose(2, 3, 1, 0))
+
+
+def test_port_tool_end_to_end_forward_parity(tmp_path, rng):
+    """The full port path the reference exercises at runtime
+    (model_content_extractor.py:43): a torchvision-shaped state_dict goes
+    through tools/port_vgg_weights.py to an .npz, vgg_init loads the .npz,
+    and the JAX forward matches the torch features stack carrying the SAME
+    state_dict — so a real pretrained vgg19.pth ported offline reproduces
+    the reference's perceptual features exactly."""
+    import sys
+    sys.path.insert(0, "tools")
+    from port_vgg_weights import convert_state_dict
+
+    gen = torch.Generator().manual_seed(7)
+    sd = {}
+    cin = 3
+    li = 0
+    for v in _CFG_E:
+        if v == "M":
+            li += 1
+            continue
+        # pretrained-like magnitudes so deep activations stay finite
+        sd[f"features.{li}.weight"] = torch.randn(v, cin, 3, 3, generator=gen) * 0.05
+        sd[f"features.{li}.bias"] = torch.randn(v, generator=gen) * 0.05
+        cin = v
+        li += 2
+    path = str(tmp_path / "vgg19.npz")
+    np.savez(path, **convert_state_dict(sd))
+
+    cfg = VGGConfig(0b01111)  # the reference's default 4-tap mask
+    params = vgg_init(path, cfg)
+    x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(vgg_apply(params, jnp.asarray(x), cfg))
+
+    layers, cin, li = [], 3, 0
+    for v in _CFG_E:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+            li += 1
+            continue
+        conv = nn.Conv2d(cin, v, 3, padding=1)
+        with torch.no_grad():
+            conv.weight.copy_(sd[f"features.{li}.weight"])
+            conv.bias.copy_(sd[f"features.{li}.bias"])
+        layers.append(conv)
+        layers.append(nn.ReLU(inplace=False))
+        cin = v
+        li += 2
+    h = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    saved = []
+    for i, l in enumerate(nn.Sequential(*layers)):
+        h = l(h)
+        if i in (2, 7, 16, 25):  # pre-activation taps
+            saved.append(h.detach().numpy().transpose(0, 2, 3, 1))
+    ofs = 0
+    for tn in saved:
+        width = tn[0].size
+        np.testing.assert_allclose(
+            ours[:, ofs:ofs + width], tn.reshape(2, -1), rtol=1e-4, atol=1e-4)
+        ofs += width
+    assert ofs == ours.shape[1]
