@@ -67,7 +67,7 @@ leg_running() {  # leg_running <marker substring>
   local p
   for p in /proc/[0-9]*/cmdline; do
     [ "$p" = "/proc/$$/cmdline" ] && continue
-    tr '\0' ' ' < "$p" 2>/dev/null | grep -qF "$1" && return 0
+    tr '\0' ' ' < "$p" 2>/dev/null | grep -qF -- "$1" && return 0
   done
   return 1
 }
