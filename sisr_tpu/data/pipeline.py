@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import queue
+import sys
 import threading
 from typing import Iterator, Optional, Sequence, Tuple
 
@@ -203,7 +204,10 @@ def make_dataset(name: str, root: Optional[str], hr_size: Tuple[int, int, int],
                  synthetic_len: int = 512):
     if name == "synthetic" or root is None:
         if name not in ("synthetic",) and root is None:
-            print(f"[data] no data_root for '{name}' — using synthetic stand-in")
+            # stderr: stdout may be a machine-read stream (eval_quality
+            # pipes JSONL rows through tee into eval_r*.jsonl)
+            print(f"[data] no data_root for '{name}' — using synthetic stand-in",
+                  file=sys.stderr)
         # Native (C++) generator when buildable: bit-identical pixel stream
         # (self-checked at load), with a batched fast path; transparently
         # degrades to the pure-Python generator otherwise.
