@@ -194,6 +194,39 @@ def test_recalibrate_bn_tracks_distribution(rng):
     assert err_new < err_old, (err_new, err_old)
 
 
+def test_recalibrate_bn_on_grown_generator(rng):
+    """Recalibration must also work on the progressive (suffix-grown)
+    architecture — the real_x4_v2 finetune evals with --recalibrate-bn on
+    an x4 grown model: structure preserved, suffix + base BN stats both
+    re-estimated, non-BN state untouched, deploy fold still applies."""
+    from sisr_tpu.infer import make_deploy_fn, recalibrate_bn
+
+    gen_cfg = GeneratorConfig(n_blocks=2, n_features_block=8,
+                              n_features_last=16, use_sn=True, n_suffixes=1)
+    params, state = generator_init(jax.random.PRNGKey(0), gen_cfg)
+    cal = [jnp.asarray(rng.uniform(0.3, 0.8, (2, 8, 8, 3))
+                       .astype(np.float32)) for _ in range(2)]
+    new_state = recalibrate_bn(params, state, gen_cfg, cal, passes=3)
+
+    assert (jax.tree_util.tree_structure(state)
+            == jax.tree_util.tree_structure(new_state))
+    moved = unchanged = 0
+    new_leaves = dict(jax.tree_util.tree_leaves_with_path(new_state))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state):
+        key = jax.tree_util.keystr(path)
+        same = bool(np.array_equal(np.asarray(leaf),
+                                   np.asarray(new_leaves[path])))
+        if "bn" in key:
+            moved += (not same)
+        else:
+            assert same, f"non-BN state perturbed at {key}"
+            unchanged += 1
+    assert moved > 0 and unchanged > 0
+    out = make_deploy_fn(params, new_state, gen_cfg)(cal[0])
+    assert out.shape == (2, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
 def test_transposed_upscale_matches_subpixel(rng):
     """The input-dilated-conv rewrite of conv+pixel_shuffle+PReLU (serving
     design point: kills the C*r^2 intermediate and the shuffle transpose)
