@@ -92,9 +92,15 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     if args.recalibrate_bn and (args.deploy or args.quant):
         from sisr_tpu.infer import recalibrate_bn
-        n_cal = min(len(ds), 64)
+        # Calibrate on images EXCLUDED from scoring: the scored set is
+        # ds[0:n_images], so calibration draws from ds[n_images:] only
+        # (calibrating on the eval images would be test-time adaptation on
+        # the test set — ADVICE r4). If the dataset has no spare images,
+        # warn and skip rather than silently biasing the metrics.
+        cal_lo = min(args.n_images, len(ds))
+        n_cal = min(len(ds) - cal_lo, 64)
         cal = []
-        for b in range(0, n_cal - 7, 8):
+        for b in range(cal_lo, cal_lo + n_cal - 7, 8):
             hr_b = jnp.asarray(np.stack([ds[i] for i in range(b, b + 8)]))
             cal.append(lr_from_hr(hr_b, (hr_b.shape[1] // scale,
                                          hr_b.shape[2] // scale)))
@@ -102,7 +108,12 @@ def main(argv=None):
             state = recalibrate_bn(params, state, gen_cfg, cal,
                                    compute_dtype=jnp.bfloat16)
             print(f"[recalibrate-bn] running stats re-estimated on "
-                  f"{len(cal)} batches")
+                  f"{len(cal)} batches (images {cal_lo}..{cal_lo + n_cal - 1},"
+                  " disjoint from the scored set)")
+        else:
+            print("WARNING: --recalibrate-bn skipped — no dataset images "
+                  f"beyond the {cal_lo} scored ones to calibrate on "
+                  "(need >=8 spare; lower --n-images or grow the dataset)")
     if args.quant:
         from sisr_tpu.quant import make_deploy_fn_int8
         deploy = make_deploy_fn_int8(params, state, gen_cfg)

@@ -139,7 +139,9 @@ def recalibrate_bn(params, state, gen_cfg: GeneratorConfig, lr_batches, *,
             return {k: (new[k] if k.startswith("bn") else
                         merge(old[k], new[k])) for k in old}
         if isinstance(old, (list, tuple)):
-            return [merge(o, n) for o, n in zip(old, new)]
+            # preserve the container type: rebuilding tuples as lists would
+            # silently change the state pytree structure (ADVICE r4)
+            return type(old)(merge(o, n) for o, n in zip(old, new))
         return old
 
     return merge(state, new_state)

@@ -178,7 +178,7 @@ def _pick_tile(B: int, max_t: int = 8) -> int:
     return t
 
 
-def fused_trunk(x, folded_params, *, tile_b: int = 0,
+def fused_trunk(x, folded_params, *, tile_b: int = 1,
                 interpret: bool = False):
     """Run the whole folded residual trunk on `x` (B, H, W, nf).
 
@@ -186,9 +186,10 @@ def fused_trunk(x, folded_params, *, tile_b: int = 0,
     (BN identity); uses blocks[*]/{conv1,prelu,conv2} and block_end/conv.
     Returns conv_end(blocks(x)) + x.
 
-    `tile_b`: images per grid step. 0 = auto (largest divisor of B up to
-    8 — the v2 batch-tiled/bf16 schedule); 1 = the original per-image v1
-    kernel with fp32 scratches.
+    `tile_b`: images per grid step. 1 (default) = the measured v1 schedule
+    (per-image, fp32 scratches); 0 = auto (largest divisor of B up to 8 —
+    the v2 batch-tiled/bf16 schedule, opt-in until its on-chip design-point
+    measurement lands: ADVICE r4, tools/bench_trunk_v2.py).
     """
     blocks = folded_params["blocks"]
     ws, bs, alphas = [], [], []

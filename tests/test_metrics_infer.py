@@ -244,3 +244,63 @@ def test_transposed_upscale_matches_subpixel(rng):
         assert y_ct.shape == y_ref.shape
         np.testing.assert_allclose(np.asarray(y_ct), np.asarray(y_ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_perceptual_metrics(rng):
+    """grad_ratio/gmsd/hf_energy_ratio: identity is perfect (1/0/1); a
+    blurred image scores strictly worse on all three (the axis the
+    adversarial recipe is supposed to win — VERDICT r4 next #4)."""
+    from jax import lax
+
+    from sisr_tpu.metrics import gmsd, grad_ratio, hf_energy_ratio
+
+    hr = jnp.asarray(rng.uniform(-1, 1, (2, 48, 48, 3)).astype(np.float32))
+    k = jnp.ones((5, 5, 1, 3), jnp.float32) / 25.0
+    blur = lax.conv_general_dilated(
+        hr, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=3)
+
+    assert abs(float(grad_ratio(hr, hr)) - 1.0) < 1e-5
+    assert float(gmsd(hr, hr)) < 1e-6
+    assert abs(float(hf_energy_ratio(hr, hr)) - 1.0) < 1e-5
+    assert float(grad_ratio(blur, hr)) < 0.8
+    assert float(gmsd(blur, hr)) > 0.05
+    assert float(hf_energy_ratio(blur, hr)) < 0.5
+    # 1-channel (mnist geometry) path
+    g = jnp.asarray(rng.uniform(-1, 1, (2, 28, 28, 1)).astype(np.float32))
+    assert abs(float(grad_ratio(g, g)) - 1.0) < 1e-5
+    # per-image shapes
+    assert grad_ratio(hr, hr, per_image=True).shape == (2,)
+    assert gmsd(hr, hr, per_image=True).shape == (2,)
+
+
+def test_recalibrate_bn_preserves_container_types(rng):
+    """merge() must rebuild tuples as tuples: a list-for-tuple swap changes
+    the state pytree structure (ADVICE r4 low #4)."""
+    from sisr_tpu.infer import recalibrate_bn
+
+    gen_cfg = GeneratorConfig(n_blocks=1, n_features_block=8,
+                              n_features_last=16)
+    params, state = generator_init(jax.random.PRNGKey(0), gen_cfg)
+
+    def listify(t):  # tuple-ify every list so the regression is visible
+        if isinstance(t, dict):
+            return {k: listify(v) for k, v in t.items()}
+        if isinstance(t, list):
+            return tuple(listify(v) for v in t)
+        return t
+
+    state_t = listify(state)
+    cal = [jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32))]
+    new_state = recalibrate_bn(params, state_t, gen_cfg, cal, passes=1)
+
+    def check(old, new):
+        assert type(old) is type(new), (type(old), type(new))
+        if isinstance(old, dict):
+            for k in old:
+                check(old[k], new[k])
+        elif isinstance(old, tuple):
+            for o, n in zip(old, new):
+                check(o, n)
+
+    check(state_t, new_state)

@@ -41,6 +41,13 @@ def main(argv=None):
                          "images (e.g. make_real_dataset's <out>/fresh) "
                          "evaluated as the 'fresh' split")
     ap.add_argument("--label", default=None)
+    ap.add_argument("--dfeat-ckpt", default=None,
+                    help="checkpoint whose net_d serves as a FIXED learned "
+                         "perceptual judge: adds dfeat_dist_* columns (mean "
+                         "squared distance between D-ladder features of SR "
+                         "and HR). Use ONE judge across all rows of a table "
+                         "so the column is comparable.")
+    ap.add_argument("--dfeat-taps", default="1,3,5")
     ap.add_argument("--quant", action="store_true",
                     help="also evaluate the int8 quantized deploy path")
     ap.add_argument("--recalibrate-bn", action="store_true",
@@ -66,7 +73,7 @@ def main(argv=None):
     from sisr_tpu.config import GeneratorConfig
     from sisr_tpu.data.pipeline import SyntheticDataset, make_dataset
     from sisr_tpu.infer import make_deploy_fn, make_sr_fn
-    from sisr_tpu.metrics import psnr, ssim
+    from sisr_tpu.metrics import gmsd, grad_ratio, hf_energy_ratio, psnr, ssim
     from sisr_tpu.models.generator import generator_init
     from sisr_tpu.ops.resize import bicubic_resize, lr_from_hr
 
@@ -110,6 +117,32 @@ def main(argv=None):
         from sisr_tpu.quant import make_deploy_fn_int8
         deploy_q = make_deploy_fn_int8(params, state, gen_cfg)
 
+    dfeat_dist = None
+    if args.dfeat_ckpt:
+        # fixed learned perceptual judge (VERDICT r4 next #4): one trained
+        # discriminator's ladder features score every row of a table, so
+        # the column is comparable across checkpoints (unlike each row's
+        # own D, which co-evolves with its G)
+        from sisr_tpu.config import DiscriminatorConfig
+        from sisr_tpu.models.discriminator import (discriminator_features,
+                                                   discriminator_init)
+        taps = tuple(int(t) for t in args.dfeat_taps.split(","))
+        d_ck = load_checkpoint(args.dfeat_ckpt)
+        if not d_ck or "net_d" not in d_ck:
+            raise SystemExit(f"--dfeat-ckpt {args.dfeat_ckpt}: no net_d")
+        dis_cfg = DiscriminatorConfig(input_shape=hr_s)
+        pd, sd = discriminator_init(jax.random.PRNGKey(1), dis_cfg)
+        pd, drep = transplant(pd, d_ck["net_d"]["params"])
+        sd, _ = transplant(sd, d_ck["net_d"]["state"])
+        if drep.coverage < 1.0:
+            print(f"[warn] dfeat judge transplant {100 * drep.coverage:.1f}%")
+
+        @jax.jit
+        def dfeat_dist(a, b):  # mean squared D-feature distance
+            fa = discriminator_features(pd, sd, a, cfg=dis_cfg, taps=taps)
+            fb = discriminator_features(pd, sd, b, cfg=dis_cfg, taps=taps)
+            return jnp.mean(jnp.square(fa - fb))
+
     def batches(name):
         ds = make_dataset(args.dataset, args.data_root, hr_s,
                           args.synthetic_len)
@@ -144,13 +177,30 @@ def main(argv=None):
         for name, sr in variants:
             out[f"psnr_{name}"] = round(float(psnr(sr, hr_j)), 3)
             out[f"ssim_{name}"] = round(float(ssim(sr, hr_j)), 4)
+            # perceptual/sharpness axis (VERDICT r4 next #4): grad_ratio
+            # -> 1 and hf_ratio -> 1 are better; gmsd lower is better
+            out[f"grad_ratio_{name}"] = round(float(grad_ratio(sr, hr_j)), 4)
+            out[f"gmsd_{name}"] = round(float(gmsd(sr, hr_j)), 5)
+            out[f"hf_ratio_{name}"] = round(
+                float(hf_energy_ratio(sr, hr_j)), 4)
+            if dfeat_dist is not None and name != "bicubic":
+                out[f"dfeat_dist_{name}"] = round(
+                    float(dfeat_dist(sr, hr_j)), 6)
+        if dfeat_dist is not None:
+            out["dfeat_dist_bicubic"] = round(float(dfeat_dist(bic, hr_j)), 6)
+            out["dfeat_judge"] = args.dfeat_ckpt
         # `beats_bicubic` keys on the DEPLOY numbers (the serving path and
         # the path every README table quotes — round-3 VERDICT weak #3:
         # keying on train-mode BN flagged a row whose deploy path lost).
         # The best deployable variant counts: recalibrated-BN deploy when
-        # evaluated, else the plain fold.
+        # evaluated, else the plain fold. Rows carry `bb_semantics` so
+        # cross-round tables can't conflate this definition with the
+        # round-3 train-mode one (ADVICE r4); `beats_bicubic_deploy` is the
+        # same fact under its unambiguous name.
         best_deploy = out.get("psnr_deploy_recal", out["psnr_deploy"])
         out["beats_bicubic"] = bool(best_deploy > out["psnr_bicubic"])
+        out["beats_bicubic_deploy"] = out["beats_bicubic"]
+        out["bb_semantics"] = "best_deploy_v2"
         out["beats_bicubic_train"] = bool(out["psnr_sr"] > out["psnr_bicubic"])
         print(json.dumps(out))
 
