@@ -208,6 +208,13 @@ tool leak_probe 1200 quality_runs/perf_r5/leak_probe.jsonl \
 commit_leg "chain r5: relay upload-retention probe" \
   quality_runs/perf_r5/leak_probe.jsonl
 
+# s2d stride-2 ladder, l1/l3/l5 (VERDICT #6b: extend the formal bound to
+# the full ladder — l1 was measured round 3, l3/l5 were not)
+tool s2d_ladder 3600 quality_runs/perf_r5/s2d_ladder.jsonl \
+  python tools/bench_s2d_conv.py; R $?
+commit_leg "chain r5: s2d ladder measurement l1/l3/l5" \
+  quality_runs/perf_r5/s2d_ladder.jsonl
+
 # ---- 5. green bench artifact (VERDICT #8; also warms the driver's cache) --
 if [ ! -s quality_runs/bench_green_r5.json ]; then
   log "bench.py green capture"

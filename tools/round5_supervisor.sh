@@ -29,6 +29,7 @@ done_yet() {
   art quality_runs/perf_r3/fused_stem.jsonl fused_stem || return 1
   art quality_runs/perf_r5/train_b64.jsonl train_b64 || return 1
   art quality_runs/perf_r5/leak_probe.jsonl leak_probe || return 1
+  art quality_runs/perf_r5/s2d_ladder.jsonl s2d_ladder || return 1
   [ -s quality_runs/bench_green_r5.json ]
 }
 
