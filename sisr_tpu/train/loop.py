@@ -168,7 +168,12 @@ class TrainResult:
 def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
           mesh=None, save: bool = True, plot_first: bool = True,
           synthetic_len: int = 512, verbose: bool = True) -> TrainResult:
-    """Full training run. `checkpoint` is a loaded payload dict (or None)."""
+    """Full training run. `checkpoint` is a loaded payload dict (or None).
+
+    NOTE: the payload dict is CLEARED once its contents are transplanted
+    (params/optimizers into `ts`, dis_list into the replay buffer) so the
+    multi-hundred-MB unpickled blob isn't pinned for the whole run; pass a
+    copy if the caller needs it afterwards."""
     checkpoint = checkpoint or {}
     seed = resolve_seed(cfg.seed)
     key = jax.random.PRNGKey(seed)
@@ -219,6 +224,12 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
     n_restored = buf.load_state_dict(checkpoint.get("dis_list"), scale_ok)
     if verbose and checkpoint:
         print(f"replay: restored {n_restored} old generated batches")
+    # Release the payload: everything needed has been transplanted into
+    # `ts` and the replay buffer, but this long-lived frame would otherwise
+    # pin the whole unpickled dict — params, both optimizer states, and up
+    # to 1000 replay batches (~0.5-3.5 GB) — for the entire run
+    # (VERDICT r4 next #7: resumed-leg host memory).
+    checkpoint.clear()
 
     infer_fn = make_infer_fn(cfg, gen_cfg)
     plot_usr = cfg.scale_factor * hr_s[1] < 1024  # reference config.py:346
