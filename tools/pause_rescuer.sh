@@ -11,17 +11,27 @@
 # (SISR_BENCH_BUDGET_S=450 + the 45 s alarm slack + exit), per VERDICT r4
 # next #1c's <=10-min rescue age. Overriding SISR_BENCH_BUDGET_S past
 # ~800 s risks a mid-measurement rescue — don't.
+# Env knobs (testing: tools/test_bench_pause_semantics.sh drives one fast
+# iteration): SISR_RESCUE_AGE_S, SISR_RESCUE_POLL_S, SISR_RESCUE_MAX_ITERS,
+# SISR_RESCUE_PIDFILE.
 set -u
-F=/tmp/sisr_bench_paused.pids
+F=${SISR_RESCUE_PIDFILE:-/tmp/sisr_bench_paused.pids}
+LAST=${SISR_RESCUE_LASTFILE:-/tmp/sisr_bench_last_pause}
+AGE_S=${SISR_RESCUE_AGE_S:-900}
+POLL_S=${SISR_RESCUE_POLL_S:-120}
+MAX_ITERS=${SISR_RESCUE_MAX_ITERS:-0}   # 0 = forever
+i=0
 while true; do
   if [ -f "$F" ]; then
     age=$(( $(date +%s) - $(stat -c %Y "$F") ))
-    if [ "$age" -gt 900 ]; then
+    if [ "$age" -gt "$AGE_S" ]; then
       echo "[rescuer] $(date -u +%H:%M:%SZ) SIGCONT orphans: $(cat "$F")"
       for p in $(cat "$F"); do kill -CONT "$p" 2>/dev/null; done
-      date +%s > /tmp/sisr_bench_last_pause
+      date +%s > "$LAST"
       rm -f "$F"
     fi
   fi
-  sleep 120
+  i=$((i + 1))
+  [ "$MAX_ITERS" -gt 0 ] && [ "$i" -ge "$MAX_ITERS" ] && exit 0
+  sleep "$POLL_S"
 done
