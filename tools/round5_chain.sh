@@ -98,6 +98,40 @@ paused_during() {  # paused_during <leg_start_epoch_s>
   [ "${t:-0}" -ge "$1" ]
 }
 
+# run <name> <timeout> <train-args...> — training leg (round-4 semantics
+# + the pause-outage rule)
+run() {
+  local name=$1 tmo=$2; shift 2
+  wait_leg "--write-root quality_runs/$name " "$name"
+  if [ -n "$(latest "$name")" ]; then log "$name: done already, skip"; return 0; fi
+  if [ -f "quality_runs/$name.failed" ]; then
+    log "$name: permanently failed earlier, skip"; return 1; fi
+  mkdir -p "quality_runs/$name"
+  local t0; t0=$(date +%s)
+  log "run $name: $*"
+  timeout "$tmo" python -m sisr_tpu.cli.train "$@" \
+    --write-root "quality_runs/$name" \
+    >> "quality_runs/$name/train.log" 2>&1
+  local rc=$?
+  log "$name rc=$rc $(grep -E 'PSNR' "quality_runs/$name/train.log" | tail -1)"
+  [ $rc -eq 0 ] && return 0
+  if [ $rc -eq 75 ]; then log "$name: OUTAGE (pre-flight)"; return 75; fi
+  if [ $rc -eq 124 ] && paused_during "$t0"; then
+    log "$name: OUTAGE (timed out under a bench pause)"; return 75; fi
+  if [ $rc -eq 124 ] && ! probe; then
+    log "$name: OUTAGE (timed out; chip probe dead)"; return 75; fi
+  local att=0
+  [ -f "quality_runs/$name.attempts" ] && att=$(cat "quality_runs/$name.attempts")
+  att=$((att + 1)); echo "$att" > "quality_runs/$name.attempts"
+  if [ "$att" -ge "$MAX_REAL_ATTEMPTS" ]; then
+    touch "quality_runs/$name.failed"
+    log "$name: REAL failure (attempt $att/$MAX_REAL_ATTEMPTS) — marked failed"
+    return 1
+  fi
+  log "$name: REAL failure (attempt $att/$MAX_REAL_ATTEMPTS) — will retry next pass"
+  return 75
+}
+
 # tool <name> <timeout> <outfile> <cmd...>: perf-capture leg with the same
 # outage/attempt semantics as training legs; output tee'd to <outfile>.
 tool() {
@@ -183,6 +217,24 @@ RX4=$(latest real_x4_v2)
 if [ -n "$RX4" ]; then
   ev5 real_x4_v2_perc "$RX4" 1 --dataset celeba --data-root "$DATA" \
     --fresh-root "$DATA/fresh" --recalibrate-bn --dfeat-ckpt "$JUDGE"; R $?
+fi
+
+# ---- 3b. x8 adversarial ramp: quantify the reference's documented x8 GAN
+# failure mode (reference README.md:74-75: MSE => blur, GAN => invented
+# detail) on the perceptual axis — grad_ratio/hf_ratio should jump toward
+# 1 while PSNR drops vs the MSE x8 base. Runs once chain4's x8a exists.
+X8=$(latest x8a); { [ -n "$X8" ] && [ -e "$X8" ]; } || X8=$KEEP/x8.ckpt
+if [ -e "$X8" ]; then
+  ev5 x8a_perc "$X8" 2 --synthetic-len 2048 --fresh-n 64 \
+    --dfeat-ckpt "$JUDGE"; R $?
+  run x8_ramp_dfeat 7200 --preset x4_ramp --ramp-epoch -1 \
+    --progressive-suffix 4 --checkpoint "$X8" --dataset synthetic \
+    --synthetic-len 2048 --batch-size 16 --num-epochs 4 --seed 57 \
+    --content-extractor dfeat --dfeat-scale 0.3; R $?
+  ev5 x8_ramp_dfeat "$(latest x8_ramp_dfeat)" 2 --synthetic-len 2048 \
+    --fresh-n 64 --dfeat-ckpt "$JUDGE"; R $?
+  commit_leg "chain r5: x8 adversarial ramp leg" \
+    quality_runs/x8_ramp_dfeat/train.log
 fi
 
 # ---- 4. perf captures (VERDICT #3, #6a, #7) --------------------------------

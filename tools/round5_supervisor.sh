@@ -25,6 +25,12 @@ done_yet() {
   for lbl in x4a x4b_perc x4_ramp_dfeat_perc; do
     row "$lbl" || return 1
   done
+  # x8 perceptual pair: required once x8a resolved with a checkpoint
+  if ls quality_runs/x8a 2>/dev/null | grep -qE '^[0-9]+$'; then
+    row x8a_perc || return 1
+    { row x8_ramp_dfeat || [ -f quality_runs/x8_ramp_dfeat.failed ]; } \
+      || return 1
+  fi
   art quality_runs/perf_r4/trunk_v2.jsonl trunk_v2 || return 1
   art quality_runs/perf_r3/fused_stem.jsonl fused_stem || return 1
   art quality_runs/perf_r5/train_b64.jsonl train_b64 || return 1
