@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--augment-dihedral", action="store_true",
                     help="8x rotation/mirror augmentation (leak-free vs the "
                          "held-out split; for small datasets)")
+    ap.add_argument("--uint8-transport", action="store_true",
+                    help="upload file-dataset train batches as raw uint8 and "
+                         "normalize on-device (4x less h2d + 4x less relay "
+                         "host-RSS retention; no effect on synthetic data)")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--progressive-suffix", type=int, default=None,
                     choices=[0, 1, 2, 3, 4])
@@ -144,6 +148,8 @@ def config_from_args(args) -> C.TrainConfig:
         updates["lr_decay"] = False
     if args.augment_dihedral:
         updates["augment_dihedral"] = True
+    if args.uint8_transport:
+        updates["uint8_transport"] = True
     if args.freeze_prefix:
         updates["freeze_prefix"] = True
     if args.freeze_upscale:

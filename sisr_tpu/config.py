@@ -247,6 +247,13 @@ class TrainConfig:
     # data/pipeline.DihedralAugmentedDataset)
     augment_dihedral: bool = False
 
+    # opt-in uint8 transport for file datasets: train batches upload as
+    # raw post-resize uint8 and normalize on-device (ops.resize.
+    # device_normalize, the host pipeline's exact /255*2-1) — 4x less h2d
+    # than fp32 and 4x less of the relay's per-upload host-RSS retention
+    # (BENCH_NOTES round 5). No effect on procedural (synthetic) data.
+    uint8_transport: bool = False
+
     # discriminator ladder (reference Discriminator args,
     # model_discriminator.py:19-24; SRGAN defaults from config.py:81-82).
     # Datasets whose HR size doesn't divide by the total stride (e.g. mnist

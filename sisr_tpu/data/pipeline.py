@@ -112,15 +112,22 @@ class ImageFolderDataset:
     def __len__(self):
         return len(self.files)
 
-    def __getitem__(self, i: int) -> np.ndarray:
+    def getitem_uint8(self, i: int) -> np.ndarray:
+        """The post-resize uint8 image the fp32 path normalizes — the
+        uint8-transport unit (ops.resize.device_normalize applies the
+        identical /255*2-1 on device)."""
         from PIL import Image
         img = Image.open(self.files[i])
         img = img.convert("RGB" if self.c == 3 else "L")
         # torchvision Resize((h, w)) default = bilinear (config.py:226)
         img = img.resize((self.w, self.h), Image.BILINEAR)
-        arr = np.asarray(img, np.float32) / 255.0
+        arr = np.asarray(img, np.uint8)
         if arr.ndim == 2:
             arr = arr[:, :, None]
+        return arr
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        arr = self.getitem_uint8(i).astype(np.float32) / 255.0
         return arr * 2.0 - 1.0  # Normalize(.5, .5) => [-1, 1]
 
 
@@ -153,14 +160,22 @@ class MNISTDataset:
     def __len__(self):
         return len(self.images)
 
-    def __getitem__(self, i: int) -> np.ndarray:
-        arr = self.images[i].astype(np.float32) / 255.0
+    def getitem_uint8(self, i: int) -> np.ndarray:
+        """Post-resize uint8 plane (the uint8-transport unit; the fp32
+        round-trip below reproduces the historical resize input exactly:
+        u8 -> f32/255 -> *255 -> u8 is the identity on exact values)."""
+        arr = self.images[i]
         if (self.h, self.w) != self.native_hw:
             from PIL import Image
-            img = Image.fromarray((arr * 255).astype(np.uint8))
+            a = (arr.astype(np.float32) / 255.0 * 255).astype(np.uint8)
+            img = Image.fromarray(a)
             arr = np.asarray(img.resize((self.w, self.h), Image.BILINEAR),
-                             np.float32) / 255.0
-        return (arr[:, :, None] * 2.0 - 1.0).astype(np.float32)
+                             np.uint8)
+        return arr[:, :, None]
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        u8 = self.getitem_uint8(i)
+        return (u8.astype(np.float32) / 255.0 * 2.0 - 1.0)
 
 
 class DihedralAugmentedDataset:
@@ -282,6 +297,23 @@ class DoubleLoader:
         return zip(self.l1, self.l2)
 
 
+class _Uint8View:
+    """Index-parallel uint8 view of a dataset exposing getitem_uint8():
+    same __len__ and index space, items are the raw post-resize uint8
+    arrays the fp32 __getitem__ normalizes. Batches built from this view
+    upload 4x less h2d than fp32 and are normalized on device
+    (ops.resize.device_normalize — the identical /255*2-1 expression)."""
+
+    def __init__(self, base):
+        self.base = base
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self.base.getitem_uint8(i)
+
+
 def build_data(cfg, synthetic_len: int = 512):
     """Full reference gen_dataset flow (config.py:202-277). Returns
     (loader, (test_hr, test_lr), n_batch) where loader yields
@@ -291,19 +323,37 @@ def build_data(cfg, synthetic_len: int = 512):
 
     hr_s, lr_s = cfg.geometry()
     ds = make_dataset(cfg.dataset, cfg.data_root, hr_s, synthetic_len)
+
+    # uint8 transport (cfg.uint8_transport): the TRAIN loaders read a
+    # parallel uint8 view of the same dataset (identical index space);
+    # the test batch below stays host-normalized fp32. The step functions
+    # normalize uint8 batches on device (ops.resize.device_normalize).
+    u8 = None
+    if getattr(cfg, "uint8_transport", False):
+        if hasattr(ds, "getitem_uint8"):
+            u8 = _Uint8View(ds)
+        else:
+            print("[data] uint8_transport: dataset has no uint8 source "
+                  "(procedural fp32) — falling back to fp32 transport",
+                  file=sys.stderr)
+
     if getattr(cfg, "augment_dihedral", False):
         ds = DihedralAugmentedDataset(ds, reserve_last=cfg.batch_size)
+        if u8 is not None:
+            u8 = DihedralAugmentedDataset(u8, reserve_last=cfg.batch_size)
+    train_ds = u8 if u8 is not None else ds
+    assert len(train_ds) == len(ds), "uint8 view index space diverged"
     n = (len(ds) - cfg.batch_size) // 2
     if n < cfg.batch_size // 2:
         raise ValueError(f"dataset too small: {len(ds)}")
 
     if not cfg.content_loss_on_lr:
-        base = BatchLoader(ds, range(0, 2 * n), cfg.batch_size)
+        base = BatchLoader(train_ds, range(0, 2 * n), cfg.batch_size)
         loader = _Paired(base)
         size = len(base)
     else:
-        l1 = BatchLoader(ds, range(0, n), cfg.batch_size)
-        l2 = BatchLoader(ds, range(n, 2 * n), cfg.batch_size)
+        l1 = BatchLoader(train_ds, range(0, n), cfg.batch_size)
+        l2 = BatchLoader(train_ds, range(n, 2 * n), cfg.batch_size)
         loader = DoubleLoader(l1, l2)
         size = len(l1)
 

@@ -86,3 +86,15 @@ def lr_from_hr(img_hr: jnp.ndarray, lr_hw) -> jnp.ndarray:
     """Reference utils.py:22-31: bicubic downsample then clamp to [-1, 1]."""
     lr = bicubic_resize(img_hr, lr_hw)
     return jnp.clip(lr, -1.0, 1.0)
+
+
+def device_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] -> fp32 [-1,1] with the exact expression the host
+    pipeline uses (np.float32(x)/255 * 2 - 1 — data/pipeline.py
+    ImageFolderDataset/MNISTDataset), so moving normalization on-device
+    (uint8 transport: 4x less h2d than fp32, and 4x less of the relay's
+    per-upload retention, BENCH_NOTES round 5) reproduces the same pixel
+    values. Float inputs pass through unchanged (already normalized)."""
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    return x

@@ -48,7 +48,7 @@ from sisr_tpu.models.discriminator import (
 )
 from sisr_tpu.models.generator import generator_apply, generator_init
 from sisr_tpu.models.vgg import VGGConfig, vgg_apply
-from sisr_tpu.ops.resize import lr_from_hr
+from sisr_tpu.ops.resize import device_normalize, lr_from_hr
 from sisr_tpu.train.losses import bce_with_logits, content_loss
 from sisr_tpu.train.optim import adam_update, make_adam, make_lr_schedule
 
@@ -122,6 +122,12 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
     def step_fn(ts: TrainState, hr, hr_d, replay, replay_mask, weights):
         w_adv_g, w_adv_d, w_cont = weights
         lr_t = sched(ts["step"] - sched_step0)
+        # uint8 transport: file-dataset batches may arrive as raw uint8
+        # (4x less h2d than fp32 — the relay retains every unique upload,
+        # BENCH_NOTES round 5); normalization moves on-device with the
+        # same expression the host pipeline uses (u8/255 * 2 - 1).
+        hr = device_normalize(hr)
+        hr_d = device_normalize(hr_d)  # XLA CSEs the duplicate when hr_d==hr
         img_lr = lr_from_hr(hr, lr_hw)
 
         # ONE G forward per step, exactly like the reference (train.py:53

@@ -168,6 +168,80 @@ def test_dihedral_augmentation_through_build_data():
     np.testing.assert_array_equal(test_hr, test_hr_plain)
 
 
+# ---------------------------------------------------------------------------
+# uint8 transport (opt-in: raw uint8 h2d + on-device normalization)
+# ---------------------------------------------------------------------------
+
+
+def test_uint8_view_matches_fp32_normalization(image_root, tmp_path):
+    """device_normalize(getitem_uint8(i)) must reproduce __getitem__(i):
+    the on-device /255*2-1 is the host pipeline's exact expression."""
+    import jax.numpy as jnp
+    from sisr_tpu.ops.resize import device_normalize
+
+    folder = ImageFolderDataset(image_root, (3, 32, 32))
+    images = np.random.default_rng(2).integers(0, 255, (4, 28, 28),
+                                               dtype=np.uint8)
+    _write_idx(str(tmp_path / "train-images-idx3-ubyte"), images)
+    mnist = MNISTDataset(str(tmp_path), (1, 14, 14))  # exercises the resize
+
+    for ds in (folder, mnist):
+        for i in range(len(ds)):
+            u8 = ds.getitem_uint8(i)
+            assert u8.dtype == np.uint8 and u8.ndim == 3
+            got = np.asarray(device_normalize(jnp.asarray(u8)))
+            np.testing.assert_allclose(got, ds[i], atol=1e-6)
+    # float inputs pass through untouched (already normalized)
+    x = jnp.asarray(np.linspace(-1, 1, 8, dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(device_normalize(x)),
+                                  np.asarray(x))
+
+
+def test_uint8_transport_through_build_data(image_root):
+    """With uint8_transport=True the TRAIN loader yields uint8 batches over
+    the same index space; the held-out test batch stays host-normalized
+    fp32; batch values normalize to exactly the fp32-transport batches."""
+    import dataclasses
+    import jax.numpy as jnp
+    from sisr_tpu.config import preset_x2_mse
+    from sisr_tpu.data.pipeline import build_data
+    from sisr_tpu.ops.resize import device_normalize
+
+    # grow the folder so the split has room (needs len > batch_size + 1)
+    rng = np.random.default_rng(3)
+    for k in range(6):
+        _write_png(os.path.join(image_root, "c_class", f"x{k}.png"),
+                   rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+
+    base = dataclasses.replace(preset_x2_mse("celeba"), data_root=image_root,
+                               batch_size=2)
+    u8cfg = dataclasses.replace(base, uint8_transport=True)
+    loader8, (test_hr8, test_lr8), n8 = build_data(u8cfg)
+    loader32, (test_hr, test_lr), n32 = build_data(base)
+    assert n8 == n32
+    assert test_hr8.dtype == np.float32
+    np.testing.assert_array_equal(test_hr8, test_hr)
+
+    for (h8, hd8), (h32, hd32) in zip(loader8, loader32):
+        assert h8.dtype == np.uint8 and hd8.dtype == np.uint8
+        np.testing.assert_allclose(
+            np.asarray(device_normalize(jnp.asarray(h8))), h32, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(device_normalize(jnp.asarray(hd8))), hd32, atol=1e-6)
+
+
+def test_uint8_transport_synthetic_falls_back_to_fp32():
+    import dataclasses
+    from sisr_tpu.config import preset_x2_mse
+    from sisr_tpu.data.pipeline import build_data
+
+    cfg = dataclasses.replace(preset_x2_mse("celeba"), dataset="synthetic",
+                              batch_size=4, uint8_transport=True)
+    loader, _, _ = build_data(cfg, synthetic_len=20)
+    hr, _ = next(iter(loader))
+    assert hr.dtype == np.float32  # procedural data has no uint8 source
+
+
 def test_dihedral_augmentation_rejects_non_square():
     from sisr_tpu.data.pipeline import DihedralAugmentedDataset
 

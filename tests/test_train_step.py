@@ -194,6 +194,44 @@ def test_gan_step_full(rng):
     assert 0.5 < float(m["errD"]) < 10.0
 
 
+def test_uint8_batch_step_matches_fp32(rng):
+    """uint8 transport: feeding the raw uint8 batch to the step (which
+    normalizes on-device via ops.resize.device_normalize) must produce the
+    same update as feeding the host-normalized fp32 batch."""
+    cfg = tiny_cfg(lr=1e-4, lr_decay=True)
+    ts = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg, 100, d_active=True, g_adv_active=True,
+                           cont_kind="identity", jit=True)
+    hr_s, _ = cfg.geometry()
+    u8 = rng.integers(0, 256, (2, hr_s[1], hr_s[2], hr_s[0]),
+                      dtype=np.uint8)
+    hr32 = jnp.asarray(u8.astype(np.float32) / 255.0 * 2.0 - 1.0)
+    R = cfg.replay.max_samples
+    replay = jnp.asarray(rng.uniform(-1, 1, (R, 2, hr_s[1], hr_s[2],
+                                             hr_s[0])).astype(np.float32))
+    rmask = jnp.asarray(np.array([1.0] + [0.0] * (R - 1), np.float32))
+    w = (jnp.float32(5e-2), jnp.float32(1.0), jnp.float32(10.0))
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+    ts8, fake8, m8 = step(copy(ts), jnp.asarray(u8), jnp.asarray(u8),
+                          replay, rmask, w)
+    ts32, fake32, m32 = step(copy(ts), hr32, hr32, replay, rmask, w)
+
+    # not bit-exact: XLA fuses the on-device u8->[-1,1] convert into the
+    # first conv, so the normalized input can differ from the host-side
+    # value by 1 ulp, which the G+D ladder amplifies to ~1e-5 relative
+    np.testing.assert_allclose(np.asarray(fake8), np.asarray(fake32),
+                               rtol=1e-4, atol=1e-5)
+    for k in m32:
+        np.testing.assert_allclose(float(m8[k]), float(m32[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    # params are deliberately NOT compared: Adam's first step is
+    # ~lr*g/(|g|+eps), so a 1-ulp input difference flips near-zero grads'
+    # normalized direction — ill-conditioned by construction, not a
+    # transport bug (the value/loss contracts above are the real ones)
+    assert int(ts8["step"]) == int(ts32["step"]) == 1
+
+
 def test_replay_mask_changes_d_loss(rng):
     cfg = tiny_cfg()
     ts = init_train_state(jax.random.PRNGKey(1), cfg)
