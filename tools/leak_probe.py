@@ -70,6 +70,23 @@ def main():
     r2 = rss_mb()
     fresh_growth = r2 - r1
 
+    # uint8 transport (TrainConfig.uint8_transport): the same PIXEL stream
+    # as the fresh-fp32 case (n elements/upload) but raw uint8 + on-device
+    # normalize — 4x fewer bytes on the wire, so if retention is
+    # buffer-keyed the growth should drop ~4x
+    @jax.jit
+    def consume_u8(x):
+        return jnp.sum(x.astype(jnp.float32) / 255.0 * 2.0 - 1.0)
+
+    _ = float(consume_u8(jnp.asarray(np.zeros(shape, np.uint8))))  # compile
+    r2 = rss_mb()
+    for i in range(args.uploads):
+        fresh8 = rng.integers(0, 256, shape, dtype=np.uint8)  # same pixels
+        _ = float(consume_u8(jnp.asarray(fresh8)))
+        del fresh8
+    r3 = rss_mb()
+    u8_growth = r3 - r2
+
     uploaded_mb = args.uploads * args.mb_per_upload
     print(json.dumps({
         "metric": "relay_upload_retention",
@@ -78,9 +95,12 @@ def main():
         "mb_per_upload": args.mb_per_upload,
         "rss_growth_same_buffer_mb": round(same_growth, 1),
         "rss_growth_fresh_buffers_mb": round(fresh_growth, 1),
+        "rss_growth_uint8_transport_mb": round(u8_growth, 1),
         "uploaded_mb": uploaded_mb,
         "retention_fraction_fresh": round(fresh_growth / uploaded_mb, 3),
         "retention_fraction_same": round(same_growth / uploaded_mb, 3),
+        "uint8_vs_fp32_retention": round(u8_growth / fresh_growth, 3)
+        if fresh_growth > 0 else None,
     }), flush=True)
 
 
