@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="upload file-dataset train batches as raw uint8 and "
                          "normalize on-device (4x less h2d + 4x less relay "
                          "host-RSS retention; no effect on synthetic data)")
+    ap.add_argument("--device-data", action="store_true",
+                    help="keep the train corpus resident in HBM and feed the "
+                         "step index batches (h2d -> 4 bytes/image; budget "
+                         "corpus bytes vs the 16 GB v5e HBM)")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--progressive-suffix", type=int, default=None,
                     choices=[0, 1, 2, 3, 4])
@@ -150,6 +154,8 @@ def config_from_args(args) -> C.TrainConfig:
         updates["augment_dihedral"] = True
     if args.uint8_transport:
         updates["uint8_transport"] = True
+    if args.device_data:
+        updates["device_data"] = True
     if args.freeze_prefix:
         updates["freeze_prefix"] = True
     if args.freeze_upscale:

@@ -254,6 +254,15 @@ class TrainConfig:
     # (BENCH_NOTES round 5). No effect on procedural (synthetic) data.
     uint8_transport: bool = False
 
+    # opt-in device-resident corpus: upload the train range to HBM once
+    # and feed the step int32 index batches gathered on device — steady-
+    # state h2d drops to 4 bytes/image and the relay's per-upload host
+    # retention stops growing with epochs. Budget the HBM: corpus bytes =
+    # n_train * H * W * C * itemsize (uint8 with uint8_transport). The
+    # deterministic synthetic dataset is index-stable, so one materialized
+    # pass is value-identical to per-epoch regeneration.
+    device_data: bool = False
+
     # discriminator ladder (reference Discriminator args,
     # model_discriminator.py:19-24; SRGAN defaults from config.py:81-82).
     # Datasets whose HR size doesn't divide by the total stride (e.g. mnist

@@ -297,6 +297,21 @@ class DoubleLoader:
         return zip(self.l1, self.l2)
 
 
+class _IndexDataset:
+    """Dataset of its own indices: item i is np.int32(i). BatchLoader over
+    this yields (B,) int32 index batches — the transport unit of the
+    device-resident corpus mode (cfg.device_data)."""
+
+    def __init__(self, n: int):
+        self.n = int(n)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return np.int32(i)
+
+
 class _Uint8View:
     """Index-parallel uint8 view of a dataset exposing getitem_uint8():
     same __len__ and index space, items are the raw post-resize uint8
@@ -347,6 +362,22 @@ def build_data(cfg, synthetic_len: int = 512):
     if n < cfg.batch_size // 2:
         raise ValueError(f"dataset too small: {len(ds)}")
 
+    # device-resident corpus (cfg.device_data): materialize the TRAIN range
+    # [0, 2n) once; loaders then yield (B,) int32 index batches and the
+    # step gathers the batch from HBM (train/step.py data_dev) — steady-
+    # state h2d drops from the full batch to 4 bytes/image. Composes with
+    # uint8_transport (the corpus itself is then uint8, 4x less HBM).
+    corpus = None
+    if getattr(cfg, "device_data", False):
+        batched = getattr(train_ds, "batch", None)
+        idx = list(range(2 * n))
+        corpus = batched(idx) if batched is not None \
+            else np.stack([train_ds[i] for i in idx])
+        print(f"[data] device-resident corpus: {2 * n} images, "
+              f"{corpus.nbytes / 1e6:.0f} MB ({corpus.dtype}) — loaders "
+              "yield index batches", file=sys.stderr)
+        train_ds = _IndexDataset(2 * n)
+
     if not cfg.content_loss_on_lr:
         base = BatchLoader(train_ds, range(0, 2 * n), cfg.batch_size)
         loader = _Paired(base)
@@ -356,6 +387,7 @@ def build_data(cfg, synthetic_len: int = 512):
         l2 = BatchLoader(train_ds, range(n, 2 * n), cfg.batch_size)
         loader = DoubleLoader(l1, l2)
         size = len(l1)
+    loader.device_corpus = corpus  # None unless cfg.device_data
 
     test_hr = np.stack([ds[i] for i in range(len(ds) - cfg.batch_size, len(ds))])
     test_lr = np.asarray(lr_from_hr(jnp.asarray(test_hr), (lr_s[1], lr_s[2])))

@@ -186,6 +186,20 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
     loader, (test_hr, test_lr), n_batch = build_data(cfg, synthetic_len)
     total_steps = n_batch * cfg.num_epochs
 
+    # device-resident corpus (cfg.device_data): one upload, then every
+    # step gathers its batch from HBM by index — steady-state h2d drops
+    # to 4 bytes/image and the relay's per-upload host retention stops
+    # growing with epochs (BENCH_NOTES round 5)
+    data_dev = None
+    if getattr(loader, "device_corpus", None) is not None:
+        if mesh is not None:
+            from sisr_tpu.parallel.mesh import replicated
+            data_dev = jax.device_put(loader.device_corpus, replicated(mesh))
+        else:
+            data_dev = jnp.asarray(loader.device_corpus)
+        data_dev.block_until_ready()
+        loader.device_corpus = None  # release the host copy
+
     ts, mask_g, _ = assemble_state(k_state, cfg, checkpoint, verbose=verbose)
 
     # content extractor: MaskedVGG for RGB, identity for 1-channel data
@@ -208,7 +222,7 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
     sched_step0 = int(ts["step"])
     get_step = epoch_step_builder(cfg, total_steps, vgg_params=vgg_params,
                                   mask_g=mask_g, jit=mesh is None, mesh=mesh,
-                                  sched_step0=sched_step0)
+                                  sched_step0=sched_step0, data_dev=data_dev)
 
     # replay: restore only when the generated-image scale matches
     # (reference config.py:323-331). host_offload picks the reference's
@@ -254,7 +268,7 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
                     cfg, total_steps, k_steps=cfg.fused_steps,
                     d_active=key[0], g_adv_active=key[1], cont_kind=ck,
                     vgg_params=vgg_params, mask_g=mask_g,
-                    sched_step0=sched_step0, mesh=mesh)
+                    sched_step0=sched_step0, mesh=mesh, data_dev=data_dev)
             return fused_cache[key]
 
     def emit(i, epoch, m, idx=None):

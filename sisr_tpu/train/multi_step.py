@@ -38,11 +38,13 @@ def init_replay_state(cfg: TrainConfig, batch_shape, seed: int = 0):
 def make_multi_step(cfg: TrainConfig, total_steps: int, *, k_steps: int,
                     d_active: bool, g_adv_active: bool,
                     cont_kind: Optional[str], vgg_params=None, mask_g=None,
-                    sched_step0: int = 0, mesh=None):
+                    sched_step0: int = 0, mesh=None, data_dev=None):
     """fused(ts, replay_state, hr_stack, hr_d_stack, weights) ->
     (ts, replay_state, metrics-stacked-over-K).
 
-    hr_stack / hr_d_stack: (K, B, H, W, C). With `mesh`, the driver runs
+    hr_stack / hr_d_stack: (K, B, H, W, C) — or (K, B) int32 index stacks
+    into `data_dev` when the corpus is device-resident (cfg.device_data).
+    With `mesh`, the driver runs
     data-parallel under GSPMD: batches and the replay ring sharded on their
     batch dim, train state replicated — the same recipe as
     parallel.mesh.shard_train_step, composed with the K-step scan (the
@@ -52,7 +54,7 @@ def make_multi_step(cfg: TrainConfig, total_steps: int, *, k_steps: int,
     inner = make_train_step(cfg, total_steps, d_active=d_active,
                             g_adv_active=g_adv_active, cont_kind=cont_kind,
                             vgg_params=vgg_params, mask_g=mask_g, jit=False,
-                            sched_step0=sched_step0)
+                            sched_step0=sched_step0, data_dev=data_dev)
     r = max(cfg.replay.max_samples, 1)
     ratio = cfg.replay.sample_ratio
     max_len = max(cfg.replay.max_len, 1)

@@ -70,6 +70,52 @@ def test_dp_step_matches_single_device(rng):
                                    rtol=1e-3, atol=2.5 * 1e-3, err_msg=p)
 
 
+def test_dp_device_data_step_matches_single_device(rng):
+    """Device-resident corpus under data parallelism: the corpus is
+    replicated across the mesh, index batches are sharded on dim 0, and
+    the gathered sharded step must match the single-device value path."""
+    from sisr_tpu.parallel.mesh import replicated
+
+    cfg = _cfg()
+    ts1 = init_train_state(jax.random.PRNGKey(0), cfg)
+    ts2 = jax.tree_util.tree_map(jnp.copy, ts1)
+
+    hr_s, _ = cfg.geometry()
+    b = 8
+    corpus = rng.uniform(-1, 1, (24, hr_s[1], hr_s[2],
+                                 hr_s[0])).astype(np.float32)
+    idx = rng.permutation(24)[:b].astype(np.int32)
+    R = cfg.replay.max_samples
+    replay = rng.uniform(-1, 1, (R, b, hr_s[1], hr_s[2],
+                                 hr_s[0])).astype(np.float32)
+    rmask = np.array([1.0] + [0.0] * (R - 1), np.float32)
+    w = (jnp.float32(5e-2), jnp.float32(1.0), jnp.float32(10.0))
+
+    # single device: raw batches (the value path the gather must hit)
+    step1 = make_train_step(cfg, 100, d_active=True, g_adv_active=True,
+                            cont_kind="identity", jit=True)
+    hr = jnp.asarray(corpus[idx])
+    ts1, fake1, m1 = step1(ts1, hr, hr, jnp.asarray(replay),
+                           jnp.asarray(rmask), w)
+
+    # 8-device DP: replicated corpus + sharded (B,) index vector
+    mesh = make_mesh()
+    corpus_dev = jax.device_put(corpus, replicated(mesh))
+    raw = make_train_step(cfg, 100, d_active=True, g_adv_active=True,
+                          cont_kind="identity", jit=False,
+                          data_dev=corpus_dev)
+    step8 = shard_train_step(raw, mesh, donate=False)
+    idx_sh = shard_batch(mesh, jnp.asarray(idx))
+    ts2, fake8, m8 = step8(ts2, idx_sh, idx_sh, jnp.asarray(replay),
+                           jnp.asarray(rmask), w)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=3e-3,
+                                   atol=1e-4, err_msg=k)
+    np.testing.assert_allclose(np.asarray(fake1), np.asarray(fake8),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_dp_dfeat_step_matches_single_device(rng):
     """The dfeat (D-feature-matching) content loss under data parallelism:
     the sharded step must match single-device — discriminator_features runs

@@ -66,6 +66,51 @@ def test_split_semantics_unsupervised():
     assert not np.allclose(h1, h2)  # disjoint halves
 
 
+def test_device_data_build_yields_index_batches():
+    """cfg.device_data: loaders yield (B,) int32 indices into the attached
+    materialized corpus; corpus[idx] reproduces the plain fp32 batches and
+    the held-out test batch is untouched."""
+    cfg = _cfg(n_batch=-1, device_data=True)
+    loader, (test_hr, _), n_batch = build_data(cfg, synthetic_len=37)
+    corpus = loader.device_corpus
+    assert corpus is not None and corpus.shape == (32, 16, 16, 3)
+
+    plain_loader, (test_hr_p, _), n_p = build_data(_cfg(n_batch=-1),
+                                                   synthetic_len=37)
+    assert n_batch == n_p
+    np.testing.assert_array_equal(test_hr, test_hr_p)
+    for (i1, i2), (h1, h2) in zip(loader, plain_loader):
+        assert i1.dtype == np.int32 and i1.shape == (4,)
+        np.testing.assert_array_equal(i1, i2)  # supervised: same indices
+        np.testing.assert_array_equal(corpus[i1], h1)
+        np.testing.assert_array_equal(corpus[i2], h2)
+
+
+def test_device_data_loop_matches_plain(tmp_path):
+    """End-to-end: training with the device-resident corpus must reproduce
+    the plain-transport run (same seed) on both the per-step and the fused
+    K-step driver."""
+    import dataclasses
+
+    r_plain = train(_cfg(seed=7), save=False, synthetic_len=40,
+                    verbose=False)
+    r_dev = train(_cfg(seed=7, device_data=True), save=False,
+                  synthetic_len=40, verbose=False)
+    np.testing.assert_allclose(r_dev.losses["cont"], r_plain.losses["cont"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r_dev.metrics["psnr"], r_plain.metrics["psnr"],
+                               rtol=1e-6)
+
+    ring = ReplayConfig(max_len=20, sample_ratio=0.1, host_offload=False)
+    rf_plain = train(_cfg(seed=7, fused_steps=2, replay=ring), save=False,
+                     synthetic_len=40, verbose=False)
+    rf_dev = train(_cfg(seed=7, fused_steps=2, replay=ring,
+                        device_data=True), save=False, synthetic_len=40,
+                   verbose=False)
+    np.testing.assert_allclose(rf_dev.losses["cont"], rf_plain.losses["cont"],
+                               rtol=1e-6)
+
+
 def test_drop_last():
     ds = SyntheticDataset((3, 16, 16), 10)
     loader = BatchLoader(ds, range(10), 4)
