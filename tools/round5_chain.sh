@@ -213,8 +213,14 @@ ev5 x4_ramp_dfeat_perc "$XG" 1 --synthetic-len 8192 --fresh-n 64 \
   --dfeat-ckpt "$JUDGE"; R $?
 
 # ---- 3. real-photo x4 perceptual + recal rows ------------------------------
-RX4=$(latest real_x4_v2)
-if [ -n "$RX4" ]; then
+# VM resets wipe the gitignored run dirs AND the corpus: fall back to the
+# committed slim keep/real_x4.ckpt and regenerate the deterministic corpus.
+if [ ! -d "$DATA/photos" ]; then
+  timeout 900 python tools/make_real_dataset.py --out "$DATA" >/dev/null 2>&1 \
+    && log "real_data_v2 regenerated" || log "WARN: corpus regen failed"
+fi
+RX4=$(latest real_x4_v2); [ -n "$RX4" ] || RX4=$KEEP/real_x4.ckpt
+if [ -e "$RX4" ] && [ -d "$DATA/photos" ]; then
   ev5 real_x4_v2_perc "$RX4" 1 --dataset celeba --data-root "$DATA" \
     --fresh-root "$DATA/fresh" --recalibrate-bn --dfeat-ckpt "$JUDGE"; R $?
 fi

@@ -25,8 +25,12 @@ done_yet() {
   for lbl in x4a x4b_perc x4_ramp_dfeat_perc; do
     row "$lbl" || return 1
   done
-  # x8 perceptual pair: required once x8a resolved with a checkpoint
-  if ls quality_runs/x8a 2>/dev/null | grep -qE '^[0-9]+$'; then
+  # real-photo perceptual row: the chain regenerates the corpus and falls
+  # back to the committed keep/real_x4.ckpt, so this is always reachable
+  row real_x4_v2_perc || return 1
+  # x8 perceptual pair: keep/x8.ckpt is committed, so always reachable too
+  if [ -e quality_runs/keep/x8.ckpt ] \
+      || ls quality_runs/x8a 2>/dev/null | grep -qE '^[0-9]+$'; then
     row x8a_perc || return 1
     { row x8_ramp_dfeat || [ -f quality_runs/x8_ramp_dfeat.failed ]; } \
       || return 1
