@@ -17,8 +17,11 @@ Run on an otherwise-idle chip (the round-5 post-chain window).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF_A100_TRAIN_MPS = 3.0
 

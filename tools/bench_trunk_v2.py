@@ -69,7 +69,12 @@ def main():
         emit(variant="trunk_xla", batch=B, ms=round(dt * 1e3, 3), mp=mp_out)
         dt = chain_timed(lambda a: fused_trunk(a, base, tile_b=1), x, iters=50)
         emit(variant="trunk_v1", batch=B, ms=round(dt * 1e3, 3), mp=mp_out)
-        for t in (2, 4, 8, 16):
+        # t8/t16 are compile-time explosions: Mosaic unrolls the per-image
+        # block chain per grid step, and both round-5 chain attempts wedged
+        # >60 min server-side compiling t8 with ~0 client CPU. t2/t4 compile
+        # in seconds and already bracket the schedule (larger tiles only add
+        # VMEM pressure at fixed MXU shape), so the sweep stops at 4.
+        for t in (2, 4):
             if B % t:
                 continue
             try:
@@ -94,6 +99,13 @@ def main():
                 lr, iters=30)
             emit(variant=name, batch=B, ms=round(dt * 1e3, 3), mp=mp_out)
 
+        # best measured v2 tile for this batch (fused_trunk's default is now
+        # tile_b=1 per ADVICE r4, so the v2 schedule must be pinned here)
+        v2_rows = [r for r in rows if r.get("batch") == B and "ms" in r
+                   and r["variant"].startswith("trunk_v2_t")]
+        best_t = (int(min(v2_rows, key=lambda r: r["ms"])
+                      ["variant"].rsplit("t", 1)[-1]) if v2_rows else 2)
+
         def make_deploy_v2(ct_upscale):
             from sisr_tpu.infer import upscale_transposed
             from sisr_tpu.nn.layers import pixel_shuffle
@@ -108,7 +120,7 @@ def main():
                 h = conv2d_apply(bb["first_layers"]["conv"], a, padding=4,
                                  compute_dtype=jnp.bfloat16)
                 h = prelu_apply(bb["first_layers"]["prelu"], h)
-                h = fused_trunk(h, bb)  # auto tile -> v2
+                h = fused_trunk(h, bb, tile_b=best_t)
                 stages = ([(bb["upscale"][i], gcfg.list_scales[i])
                            for i in range(len(bb["upscale"]))]
                           + [(lvl["upscale"], 2) for lvl in reversed(levels)])
