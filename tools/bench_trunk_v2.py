@@ -55,6 +55,27 @@ def main():
 
     rows = []
 
+    # Resume support: a prior attempt's partial capture (the chain snapshots
+    # the tee'd .tmp before tool() deletes it on rc=124) seeds `rows`, its
+    # lines are re-printed so the final artifact is complete, and measured
+    # (variant, batch) pairs are skipped — the retry only runs what's left.
+    partial = os.environ.get("SISR_TRUNK_V2_RESUME",
+                             "quality_runs/perf_r4/trunk_v2.partial.jsonl")
+    if os.path.isfile(partial):
+        with open(partial) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except ValueError:
+                    continue
+                if "variant" in r and "ms" in r:
+                    rows.append(r)
+                    print(json.dumps(r), flush=True)
+
+    def done(variant, batch):
+        return any(r.get("variant") == variant and r.get("batch") == batch
+                   and "ms" in r for r in rows)
+
     def emit(**kw):
         mp = kw.pop("mp")
         kw["mps"] = round(mp / kw["ms"] * 1e3, 1)
@@ -65,17 +86,20 @@ def main():
         x = jnp.asarray(rng.uniform(-1, 1, (B, H, W, nf)).astype(np.float32))
         mp_out = B * (H * 4) * (W * 4) / 1e6  # end-to-end MP at x4
 
-        dt = chain_timed(xla_trunk, x, iters=50)
-        emit(variant="trunk_xla", batch=B, ms=round(dt * 1e3, 3), mp=mp_out)
-        dt = chain_timed(lambda a: fused_trunk(a, base, tile_b=1), x, iters=50)
-        emit(variant="trunk_v1", batch=B, ms=round(dt * 1e3, 3), mp=mp_out)
+        if not done("trunk_xla", B):
+            dt = chain_timed(xla_trunk, x, iters=50)
+            emit(variant="trunk_xla", batch=B, ms=round(dt * 1e3, 3), mp=mp_out)
+        if not done("trunk_v1", B):
+            dt = chain_timed(lambda a: fused_trunk(a, base, tile_b=1),
+                             x, iters=50)
+            emit(variant="trunk_v1", batch=B, ms=round(dt * 1e3, 3), mp=mp_out)
         # t8/t16 are compile-time explosions: Mosaic unrolls the per-image
         # block chain per grid step, and both round-5 chain attempts wedged
         # >60 min server-side compiling t8 with ~0 client CPU. t2/t4 compile
         # in seconds and already bracket the schedule (larger tiles only add
         # VMEM pressure at fixed MXU shape), so the sweep stops at 4.
         for t in (2, 4):
-            if B % t:
+            if B % t or done(f"trunk_v2_t{t}", B):
                 continue
             try:
                 dt = chain_timed(lambda a, t=t: fused_trunk(a, base, tile_b=t),
@@ -92,6 +116,8 @@ def main():
                          ("deploy_pallas_v1", {"use_pallas_trunk": True}),
                          ("deploy_xla_ct",
                           {"use_transposed_upscale": True})):
+            if done(name, B):
+                continue
             dt = chain_timed(
                 lambda a, kw=kw: deploy_apply(fp, a, gcfg,
                                               compute_dtype=jnp.bfloat16,
@@ -141,6 +167,8 @@ def main():
 
         for name, ct in (("deploy_pallas_v2", False),
                          ("deploy_pallas_v2_ct", True)):
+            if done(name, B):
+                continue
             try:
                 dt = chain_timed(make_deploy_v2(ct), lr, iters=30)
                 emit(variant=name, batch=B, ms=round(dt * 1e3, 3), mp=mp_out)
