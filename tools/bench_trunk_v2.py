@@ -101,6 +101,16 @@ def main():
         for t in (2, 4):
             if B % t or done(f"trunk_v2_t{t}", B):
                 continue
+            if B == 64 and t == 4:
+                # t4@b64 is another Mosaic compile explosion (two round-5
+                # attempts spent 14 and 22+ min inside it server-side,
+                # blocking the relay's compile queue). t2@b64 already shows
+                # the v2 schedule losing at this batch (276.7 vs v1 348.5
+                # vs XLA 382.4 MP/s) — nothing left to learn from t4.
+                print(json.dumps({"variant": "trunk_v2_t4", "batch": B,
+                                  "skipped": "mosaic-compile-explosion"}),
+                      flush=True)
+                continue
             try:
                 dt = chain_timed(lambda a, t=t: fused_trunk(a, base, tile_b=t),
                                  x, iters=50)
