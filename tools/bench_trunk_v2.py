@@ -179,6 +179,17 @@ def main():
                          ("deploy_pallas_v2_ct", True)):
             if done(name, B):
                 continue
+            if B == 64:
+                # The deploy-wrapped fused_trunk at b64 is another Mosaic
+                # compile explosion (a round-5 attempt sat 65+ min in it
+                # server-side with ~0 client CPU). The standalone trunk rows
+                # already show v2 losing at b64 (t2 276.7 / t4 279.2 vs v1
+                # 348.5 vs XLA 382.4 MP/s) and the b16 deploy rows show the
+                # v2 wrapper losing end-to-end — nothing left to learn.
+                print(json.dumps({"variant": name, "batch": B,
+                                  "skipped": "mosaic-compile-explosion"}),
+                      flush=True)
+                continue
             try:
                 dt = chain_timed(make_deploy_v2(ct), lr, iters=30)
                 emit(variant=name, batch=B, ms=round(dt * 1e3, 3), mp=mp_out)
