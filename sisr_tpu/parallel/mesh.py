@@ -89,22 +89,28 @@ def shard_infer_fn(fn, mesh: Mesh):
     return jax.jit(fn, in_shardings=(b0,), out_shardings=b0)
 
 
-def shard_train_step(step_fn, mesh: Mesh, donate: bool = True):
+def shard_train_step(step_fn, mesh: Mesh, donate: bool = True,
+                     with_data: bool = False):
     """Wrap an *unjitted* train step (sisr_tpu.train.step.make_train_step
     with jit=False) with data-parallel shardings.
 
-    Inputs: (ts, hr, hr_d, replay, replay_mask, weights)
+    Inputs: (ts, hr, hr_d, replay, replay_mask, weights[, data])
       ts / weights replicated; hr, hr_d sharded on batch dim 0; the replay
       stack (R, B, H, W, C) sharded on its *batch* dim 1; the replay mask
-      replicated.
+      replicated. With `with_data=True` the step takes a 7th argument: the
+      device-resident corpus (cfg.device_data), replicated — hr/hr_d are
+      then per-shard index vectors gathered from it on device.
     Outputs: (ts, fake, metrics) — ts and metrics replicated, fake sharded.
     """
     repl = replicated(mesh)
     b0 = batch_sharded(mesh, 0)
     b1 = batch_sharded(mesh, 1)
+    in_sh = (repl, b0, b0, b1, repl, repl)
+    if with_data:
+        in_sh = in_sh + (repl,)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, b0, b0, b1, repl, repl),
+        in_shardings=in_sh,
         out_shardings=(repl, b0, repl),
         donate_argnums=(0,) if donate else (),
     )

@@ -222,7 +222,7 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
     sched_step0 = int(ts["step"])
     get_step = epoch_step_builder(cfg, total_steps, vgg_params=vgg_params,
                                   mask_g=mask_g, jit=mesh is None, mesh=mesh,
-                                  sched_step0=sched_step0, data_dev=data_dev)
+                                  sched_step0=sched_step0)
 
     # replay: restore only when the generated-image scale matches
     # (reference config.py:323-331). host_offload picks the reference's
@@ -268,7 +268,7 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
                     cfg, total_steps, k_steps=cfg.fused_steps,
                     d_active=key[0], g_adv_active=key[1], cont_kind=ck,
                     vgg_params=vgg_params, mask_g=mask_g,
-                    sched_step0=sched_step0, mesh=mesh, data_dev=data_dev)
+                    sched_step0=sched_step0, mesh=mesh)
             return fused_cache[key]
 
     def emit(i, epoch, m, idx=None):
@@ -335,9 +335,14 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
             stack, mask = buf.sample()
             hr_dev = jnp.asarray(hr)
             hrd_dev = hr_dev if hr_d is hr else jnp.asarray(hr_d)
-            ts, fake, m = step_fn(ts, hr_dev, hrd_dev,
-                                  jnp.asarray(stack), jnp.asarray(mask),
-                                  weights)
+            # device-resident corpus rides as an explicit argument (same
+            # device buffer every call — zero h2d, never a captured
+            # constant); sharded steps built with with_data=True require it
+            step_args = (ts, hr_dev, hrd_dev, jnp.asarray(stack),
+                         jnp.asarray(mask), weights)
+            if data_dev is not None:
+                step_args = step_args + (data_dev,)
+            ts, fake, m = step_fn(*step_args)
             # fakes enter the replay ring only while D updates run — the
             # reference stores inside the `if lw_adv_d:` branch
             # (train.py:59-71), so MSE-pretrain epochs must not pre-fill
@@ -367,7 +372,12 @@ def train(cfg: TrainConfig, checkpoint: Optional[Dict] = None,
                     hrd_stack = jnp.asarray(np.stack([c[2] for c in chunk]))
                 rs = rs_live if rs_live is not None \
                     else buf.as_scan_state(it_global)
-                ts, rs_live, m = fused(ts, rs, hr_stack, hrd_stack, weights)
+                if data_dev is not None:
+                    ts, rs_live, m = fused(ts, rs, hr_stack, hrd_stack,
+                                           weights, data_dev)
+                else:
+                    ts, rs_live, m = fused(ts, rs, hr_stack, hrd_stack,
+                                           weights)
                 pending.append((epoch, [i for i, _, _ in chunk], m, True))
                 flush_pending()
                 it_global += len(chunk)

@@ -71,8 +71,7 @@ def init_train_state(key, cfg: TrainConfig) -> TrainState:
 def make_train_step(cfg: TrainConfig, total_steps: int, *,
                     d_active: bool, g_adv_active: bool,
                     cont_kind: Optional[str], vgg_params=None,
-                    mask_g=None, jit: bool = True, sched_step0: int = 0,
-                    data_dev=None):
+                    mask_g=None, jit: bool = True, sched_step0: int = 0):
     """Build one compiled variant of the train step.
 
     cont_kind: 'vgg' | 'dfeat' | 'identity' | None. `mask_g` is a trainable-mask
@@ -81,13 +80,14 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
     from (step - sched_step0), so resumed runs restart the decay at full
     base LR like the reference, which rebuilds LambdaLR each run
     (config.py:170-180), while the global step counter itself continues.
-    `data_dev`: optional device-resident train corpus (N, H, W, C). When
-    set, `hr`/`hr_d` are int32 index vectors gathered from it on device —
-    steady-state h2d drops from the full batch to B*4 bytes/step
-    (cfg.device_data; the corpus is closed over as a jaxpr constant, one
-    HBM copy shared by every compiled variant).
-    Returns step(ts, hr, hr_d, replay, replay_mask, weights) ->
-    (ts, fake, metrics).
+    Returns step(ts, hr, hr_d, replay, replay_mask, weights, data=None) ->
+    (ts, fake, metrics). `data` is the optional device-resident train
+    corpus (N, H, W, C): when passed, `hr`/`hr_d` are int32 index vectors
+    gathered from it on device — steady-state h2d drops from the full
+    batch to B*4 bytes/step (cfg.device_data). It is an explicit jit
+    ARGUMENT, not a closure: closing over a multi-GB device array embeds
+    it as a captured lowering constant, which every compiled variant
+    re-ships through the relay and pins a second HBM copy of.
     """
     gen_cfg = cfg.generator
     dis_cfg = cfg.discriminator()
@@ -125,14 +125,15 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
                                           compute_dtype=cd)
         return x.astype(jnp.float32).reshape(x.shape[0], -1)
 
-    def step_fn(ts: TrainState, hr, hr_d, replay, replay_mask, weights):
+    def step_fn(ts: TrainState, hr, hr_d, replay, replay_mask, weights,
+                data=None):
         w_adv_g, w_adv_d, w_cont = weights
         lr_t = sched(ts["step"] - sched_step0)
         # device-resident corpus: hr/hr_d arrive as int32 index vectors;
         # gather the batch from HBM instead of uploading it
-        if data_dev is not None:
-            hr = jnp.take(data_dev, hr, axis=0)
-            hr_d = jnp.take(data_dev, hr_d, axis=0)
+        if data is not None:
+            hr = jnp.take(data, hr, axis=0)
+            hr_d = jnp.take(data, hr_d, axis=0)
         # uint8 transport: file-dataset batches may arrive as raw uint8
         # (4x less h2d than fp32 — the relay retains every unique upload,
         # BENCH_NOTES round 5); normalization moves on-device with the
@@ -286,7 +287,7 @@ def make_train_step(cfg: TrainConfig, total_steps: int, *,
 
 def epoch_step_builder(cfg: TrainConfig, total_steps: int, vgg_params=None,
                        mask_g=None, jit: bool = True, mesh=None,
-                       sched_step0: int = 0, data_dev=None):
+                       sched_step0: int = 0):
     """Cache of compiled step variants keyed by the epoch's active losses.
 
     Host-side analog of the reference's per-epoch `if lw_*` gating
@@ -302,11 +303,11 @@ def epoch_step_builder(cfg: TrainConfig, total_steps: int, vgg_params=None,
             fn = make_train_step(
                 cfg, total_steps, d_active=key[0], g_adv_active=key[1],
                 cont_kind=cont_kind, vgg_params=vgg_params, mask_g=mask_g,
-                jit=jit and mesh is None, sched_step0=sched_step0,
-                data_dev=data_dev)
+                jit=jit and mesh is None, sched_step0=sched_step0)
             if mesh is not None:
                 from sisr_tpu.parallel.mesh import shard_train_step
-                fn = shard_train_step(fn, mesh)
+                fn = shard_train_step(fn, mesh,
+                                      with_data=cfg.device_data)
             cache[key] = fn
         weights = (jnp.asarray(w_adv_g, jnp.float32),
                    jnp.asarray(w_adv_d, jnp.float32),

@@ -98,16 +98,16 @@ def test_dp_device_data_step_matches_single_device(rng):
     ts1, fake1, m1 = step1(ts1, hr, hr, jnp.asarray(replay),
                            jnp.asarray(rmask), w)
 
-    # 8-device DP: replicated corpus + sharded (B,) index vector
+    # 8-device DP: replicated corpus (an explicit argument — closing over
+    # it would embed a captured lowering constant) + sharded (B,) indices
     mesh = make_mesh()
     corpus_dev = jax.device_put(corpus, replicated(mesh))
     raw = make_train_step(cfg, 100, d_active=True, g_adv_active=True,
-                          cont_kind="identity", jit=False,
-                          data_dev=corpus_dev)
-    step8 = shard_train_step(raw, mesh, donate=False)
+                          cont_kind="identity", jit=False)
+    step8 = shard_train_step(raw, mesh, donate=False, with_data=True)
     idx_sh = shard_batch(mesh, jnp.asarray(idx))
     ts2, fake8, m8 = step8(ts2, idx_sh, idx_sh, jnp.asarray(replay),
-                           jnp.asarray(rmask), w)
+                           jnp.asarray(rmask), w, corpus_dev)
 
     for k in m1:
         np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=3e-3,
@@ -209,6 +209,44 @@ def test_dp_fused_driver_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(rs1["stack"][:K], np.float32),
         np.asarray(rs8["stack"][:K], np.float32), rtol=5e-2, atol=6e-2)
+
+
+def test_dp_fused_device_data_matches_single_device(rng):
+    """Fused K-step driver + mesh + device-resident corpus: the corpus is
+    an explicit replicated argument (cfg.device_data extends the mesh
+    in_shardings arity) and DP must match single-device on index stacks."""
+    import dataclasses
+    from sisr_tpu.parallel.mesh import replicated
+    from sisr_tpu.train.multi_step import init_replay_state, make_multi_step
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(cfg, device_data=True,
+                              replay=ReplayConfig(max_len=10,
+                                                  sample_ratio=0.2))
+    hr_s, _ = cfg.geometry()
+    B, K, N = 8, 2, 24
+    corpus = rng.uniform(-1, 1, (N, hr_s[1], hr_s[2],
+                                 hr_s[0])).astype(np.float32)
+    idx = rng.integers(0, N, (K, B)).astype(np.int32)
+    w = (jnp.float32(5e-2), jnp.float32(1.0), jnp.float32(10.0))
+
+    outs = []
+    for mesh in (None, make_mesh()):
+        ts = init_train_state(jax.random.PRNGKey(0), cfg)
+        rs = init_replay_state(cfg, (B, hr_s[1], hr_s[2], hr_s[0]))
+        fused = make_multi_step(cfg, 100, k_steps=K, d_active=True,
+                                g_adv_active=True, cont_kind="identity",
+                                mesh=mesh)
+        data = jnp.asarray(corpus) if mesh is None \
+            else jax.device_put(corpus, replicated(mesh))
+        ts, rs, m = fused(ts, rs, jnp.asarray(idx), jnp.asarray(idx), w,
+                          data)
+        outs.append(m)
+
+    m1, m8 = outs
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k][0]), float(m8[k][0]),
+                                   rtol=3e-3, atol=1e-4, err_msg=k)
 
 
 def test_sharded_deploy_inference_matches_single(rng):
