@@ -164,8 +164,11 @@ KEEP=quality_runs/keep
 JUDGE=$KEEP/x4_gan.ckpt
 
 # ---- 1. flagship adversarial ramp on the best MSE base ---------------------
-BASE=$(latest x4e); [ -n "$BASE" ] || BASE=$(latest x4d)
-[ -n "$BASE" ] || BASE=$KEEP/x4_best.ckpt
+# keep/x4_scaled.ckpt is x4c (29.696/29.699 deploy, eval_r4.jsonl) — the
+# true best x4. x4d (keep/x4_best.ckpt, 29.37/29.54) REGRESSED ~0.3 dB:
+# the lr 1e-4 restart overshot the decayed-lr optimum (eval_r5 vs eval_r4
+# rows, same corpus/denominators). Ramp from x4c, not x4d.
+BASE=$(latest x4e); [ -n "$BASE" ] || BASE=$KEEP/x4_scaled.ckpt
 if [ -e "$BASE" ]; then
   run x4_ramp_scaled 2700 --preset x4_ramp --ramp-epoch -1 \
     --checkpoint "$BASE" --dataset synthetic --synthetic-len 16384 \
@@ -180,16 +183,16 @@ if [ -e "$BASE" ]; then
   commit_leg "chain r5c: x4_ramp_scaled eval rows" "$EVAL"
 fi
 
-# ---- 2. x4e: low-lr continuation (the leg the reset killed) ----------------
-X4D=$(latest x4d); [ -n "$X4D" ] || X4D=$KEEP/x4_best.ckpt
-if [ -e "$X4D" ] && [ ! -e "quality_runs/x4_ramp_scaled.running" ]; then
-  run x4e 5400 --preset x2_mse --progressive-suffix 2 --checkpoint "$X4D" \
+# ---- 2. x4e: low-lr continuation from x4c (x4d's lr 1e-4 regressed) --------
+X4C=$KEEP/x4_scaled.ckpt
+if [ -e "$X4C" ]; then
+  run x4e 5400 --preset x2_mse --progressive-suffix 2 --checkpoint "$X4C" \
     --dataset synthetic --synthetic-len 32768 --batch-size 16 \
     --num-epochs 24 --lr 5e-5 --seed 61 --fused-steps 8 --device-data; R $?
   X4E=$(latest x4e)
-  keep x4_best2 "$X4E"
+  keep x4e "$X4E"
   commit_leg "chain r5c: x4e low-lr continuation (train leg)" \
-    quality_runs/keep/x4_best2.ckpt quality_runs/x4e/train.log
+    quality_runs/keep/x4e.ckpt quality_runs/x4e/train.log
   ev5 x4e "$X4E" 1 --synthetic-len 32768 --fresh-n 64 \
     --dfeat-ckpt "$JUDGE"; R $?
   commit_leg "chain r5c: x4e eval rows" "$EVAL"
